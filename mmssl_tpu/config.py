@@ -1,0 +1,228 @@
+"""Typed experiment configuration.
+
+Replaces the reference's three divergent argparse copies
+(``MMSSL/utility/parser.py:3-102``, ``LATTICE/codes/utility/parser.py``,
+``MICRO/codes/utility/parser.py``) with one frozen dataclass tree.  Only the
+*live* flags are kept (the reference carries ~25 dead flags, see SURVEY.md
+§8.2); defaults reproduce the hyperparameters that produced the published
+numbers (``MMSSL/utility/parser.py`` defaults, SURVEY.md §8.4).
+
+Quirks of the reference that are load-bearing for numerical parity (SURVEY.md
+§8.1) are controlled by :class:`ParityConfig` so they can be individually
+disabled for "fixed" runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+
+@dataclass(frozen=True)
+class ParityConfig:
+    """Reproduce reference quirks exactly (SURVEY.md §8.1 quirk ledger).
+
+    Each field cites the quirk it gates.  All default to True because the
+    published numbers were produced with these behaviors.
+    """
+
+    # Q1 (Models.py:150): attention K is recomputed from Q, so scores are Q.Q.
+    attention_k_equals_q: bool = True
+    # Q2 (Models.py:168): attention output is NOT rescaled by model_cat_rate
+    # (the expression result is discarded in the reference).
+    discard_attention_rescale: bool = True
+    # Q3 (Models.py:202-204): final LightGCN layer wraps embeddings in a
+    # row-softmax before the mean over the layer stack.
+    softmax_last_gcn_layer: bool = True
+    # Q6 (main.py:81-87): the MMSSL LR scheduler is constructed but never
+    # stepped -> constant LR for both optimizers.
+    mmssl_constant_lr: bool = True
+    # Q14 (Models.py:230 ``nn.LeakyReLU(True)``): the first positional arg of
+    # LeakyReLU is negative_slope, so slope == 1.0 -> identity activation in
+    # the discriminator MLP.
+    discriminator_identity_leak: bool = True
+    # Q9 (metrics.py:61-71): NDCG ideal-DCG is the DCG of the *retrieved*
+    # binary vector sorted, not min(K, |pos|) ones.
+    ndcg_retrieved_ideal: bool = True
+    # Q11 (main.py:503-504): BPR L2 regularizer divides by batch_size (not 2B)
+    # and covers only the gathered rows.
+    bpr_reg_batch_div: bool = True
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset location + loading knobs.
+
+    On-disk contract (SURVEY.md §8.3, ``MMSSL/main.py:54-58``,
+    ``load_data.py:15-17``): ``train/val/test.json`` mapping str(uid) ->
+    [item ids], ``image_feat.npy``/``text_feat.npy`` [n_items, d], and a
+    pickled scipy csr ``train_mat``.
+    """
+
+    data_path: str = ""
+    dataset: str = "baby"
+    batch_size: int = 1024
+    # Modality feature files to load, in order. The reference hardcodes
+    # image+text (MMSSL/main.py:54-55); we generalize to N modalities
+    # (Tiktok is tri-modal: visual/acoustic/text).
+    modalities: tuple[str, ...] = ("image", "text")
+    # Count items the way MMSSL does (max id + 1 over all splits,
+    # load_data.py:29-55). LATTICE/MICRO instead use text_feat.shape[0]
+    # (MICRO/codes/utility/load_data.py:63-64).
+    n_items_from_feats: bool = False
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters shared across the model zoo."""
+
+    name: str = "mmssl"  # mmssl | lattice | micro | lightgcn | ngcf | mf
+    embed_size: int = 64  # parser.py:55
+    # len(weight_size) == number of u-i GCN layers (parser.py:82, main.py:49).
+    n_ui_layers: int = 2
+    # Modality feature-propagation layers (parser.py:12 --layers).
+    n_mm_layers: int = 1
+    head_num: int = 4  # parser.py:77
+    drop_rate: float = 0.2  # parser.py:72
+    model_cat_rate: float = 0.55  # parser.py:73
+    id_cat_rate: float = 0.36  # parser.py:75
+    # LATTICE / MICRO item-item graph knobs.
+    knn_topk: int = 10  # parser.py:57 --topk
+    lambda_coeff: float = 0.9  # LATTICE parser --lambda_coeff
+    # item-item propagation layer count for LATTICE/MICRO (--n_layers /
+    # --layers in their parsers).
+    n_item_layers: int = 1
+    norm_type: str = "sym"  # MICRO --norm_type {sym, rw, none}
+    cf_model: str = "lightgcn"  # CF branch for LATTICE/MICRO {lightgcn,ngcf,mf}
+    # NGCF message dropout per layer (reference --mess_dropout).
+    mess_dropout: tuple[float, ...] = (0.1, 0.1)
+    # Discriminator (MMSSL/Models.py:224-245).
+    g_drop1: float = 0.31  # parser.py:84
+    g_drop2: float = 0.5  # parser.py:85
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + adversarial/contrastive loop hyperparameters."""
+
+    epochs: int = 1000  # parser.py:53
+    lr: float = 5.5e-4  # parser.py:65
+    d_lr: float = 3e-4  # parser.py:56
+    d_betas: tuple[float, float] = (0.5, 0.9)  # main.py:74
+    decay: float = 1e-5  # regs[0], parser.py:64
+    feat_reg_decay: float = 1e-5  # parser.py:29
+    cl_rate: float = 0.03  # parser.py:60
+    cl_tau: float = 0.5  # parser.py:94
+    g_rate: float = 1e-4  # parser.py:83 --G_rate
+    gp_rate: float = 1.0  # parser.py:86
+    gp_lambda: float = 0.3  # main.py:142
+    # Gumbel softening of "real" rows for the discriminator (main.py:349-352).
+    real_data_tau: float = 0.005  # parser.py:88
+    ui_pre_scale: float = 100.0  # parser.py:89
+    log_log_scale: float = 1e-5  # parser.py:99
+    # Adjacency densification cadence (main.py:378-405).
+    densify_period: int = 1  # parser.py:93 --T
+    m_topk_rate: float = 1e-4  # parser.py:98
+    # LATTICE/MICRO single-optimizer loop.
+    loss_ratio: float = 1.0  # MICRO --loss_ratio (contrastive weight)
+    lr_decay_base: float = 0.96  # 0.96 ** (epoch / 50), main.py:85
+    lr_decay_interval: float = 50.0
+    early_stopping_patience: int = 7  # parser.py:11
+    seed: int = 2022  # parser.py:51
+    # Eval cadence in epochs (reference evaluates every epoch).
+    eval_every: int = 1
+    checkpoint_dir: str = ""
+    checkpoint_every: int = 0  # epochs; 0 = disabled
+    log_every_steps: int = 0  # 0 = per-epoch only
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Ranking evaluation protocol (MMSSL/utility/batch_test.py:112-169)."""
+
+    ks: tuple[int, ...] = (10, 20, 50)  # parser.py:63
+    # User rows scored per device step; reference uses 2*batch_size.
+    user_batch_size: int = 2048
+    # 'part' -> heap top-K only (auc = 0, Q12); 'full' -> also AUC.
+    test_flag: str = "part"
+
+
+@dataclass(frozen=True)
+class ShardingConfig:
+    """Device mesh layout. The reference is single-GPU (SURVEY.md §2.4); this
+    is net-new TPU design: data-parallel batch axis + model axis for
+    row-sharded tables and catalog-sharded scoring."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # Mesh shape; () = single device, (-1,) = all devices on the data axis.
+    mesh_shape: tuple[int, ...] = ()
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    sharding: ShardingConfig = field(default_factory=ShardingConfig)
+    parity: ParityConfig = field(default_factory=ParityConfig)
+
+    def replace(self, **kw: Any) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _nested_replace(cfg: ExperimentConfig, updates: Mapping[str, Any]) -> ExperimentConfig:
+    """Apply {'train.lr': 1e-3, ...} style dotted updates."""
+    out = cfg
+    for key, value in updates.items():
+        parts = key.split(".")
+        if len(parts) == 1:
+            out = dataclasses.replace(out, **{parts[0]: value})
+        elif len(parts) == 2:
+            sub = getattr(out, parts[0])
+            out = dataclasses.replace(out, **{parts[0]: dataclasses.replace(sub, **{parts[1]: value})})
+        else:
+            raise KeyError(f"unsupported config key: {key}")
+    return out
+
+
+# Per-dataset presets. Scale numbers from the reference README table
+# (README.md:40-47); modality dims per dataset.
+_PRESETS: dict[str, dict[str, Any]] = {
+    "baby": {"data.modalities": ("image", "text")},
+    "sports": {"data.modalities": ("image", "text")},
+    "allrecipes": {"data.modalities": ("image", "text")},
+    "clothing": {"data.modalities": ("image", "text")},
+    # Tiktok ships visual/acoustic/text features (README.md:44); the reference
+    # code only consumes image+text (MMSSL/main.py:54-55) but our model zoo is
+    # N-modality, so the preset is tri-modal.
+    "tiktok": {"data.modalities": ("image", "audio", "text")},
+    "netflix": {"data.modalities": ("image", "text")},
+    "movielens": {"data.modalities": ("image", "text")},
+}
+
+
+def preset(dataset: str, model: str = "mmssl", **overrides: Any) -> ExperimentConfig:
+    """Build an ExperimentConfig for a named dataset + model."""
+    cfg = ExperimentConfig()
+    cfg = _nested_replace(cfg, {"data.dataset": dataset, "model.name": model})
+    if dataset in _PRESETS:
+        cfg = _nested_replace(cfg, _PRESETS[dataset])
+    if overrides:
+        cfg = _nested_replace(cfg, overrides)
+    return cfg
+
+
+def flatten(cfg: ExperimentConfig) -> dict[str, Any]:
+    """Dotted-key view for logging."""
+    out: dict[str, Any] = {}
+    for f in dataclasses.fields(cfg):
+        sub = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(sub):
+            for sf in dataclasses.fields(sub):
+                out[f"{f.name}.{sf.name}"] = getattr(sub, sf.name)
+        else:
+            out[f.name] = sub
+    return out

@@ -1,0 +1,120 @@
+"""Full-catalog ranking evaluation, entirely on device.
+
+Replaces the reference harness (``MMSSL/utility/batch_test.py:112-169``) which
+computes U @ I^T on device, ships the full [B, n_items] score matrix to host
+(line 154), and ranks per-user in a fork()ed ``multiprocessing.Pool`` — the
+reference's biggest eval bottleneck (SURVEY.md §3.4).  Here scoring, train-item
+exclusion (additive -inf masking instead of set arithmetic), top-K, and the
+metric reductions are one jit program; only the final per-K scalar sums cross
+to host.
+
+Protocol parity:
+  - candidates = catalog minus the user's train items (batch_test.py:100-102)
+  - metrics at Ks over the top-max(Ks) ranked list; model selection uses
+    recall@Ks[1] (MMSSL/main.py:483)
+  - averaged over len(users_to_test) (batch_test.py:160-165)
+  - 'part' mode reports auc=0 (quirk Q12); 'full' computes tie-averaged AUC
+  - top-k tie ordering: the reference's heapq is first-seen-wins over dict
+    order; jax.lax.top_k is lowest-index-wins. Ties between distinct float
+    scores are measure-zero; documented, not reproduced.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmssl_tpu.config import EvalConfig
+from mmssl_tpu.data.dataset import RecDataset
+from mmssl_tpu.eval.metrics import batch_auc, batch_metrics_from_topk
+
+
+@partial(jax.jit, static_argnames=("ks", "full_auc"))
+def _eval_user_batch(
+    u_emb: jnp.ndarray,  # [n_users, d]
+    i_emb: jnp.ndarray,  # [n_items, d]
+    users: jnp.ndarray,  # int32 [B] (padded with 0 where invalid)
+    valid: jnp.ndarray,  # float32 [B]
+    train_pad: jnp.ndarray,  # int32 [n_users, max_train] (-1 pad)
+    pos_pad: jnp.ndarray,  # int32 [n_users, max_pos] (-1 pad)
+    pos_cnt: jnp.ndarray,  # int32 [n_users]
+    ks: tuple[int, ...],
+    full_auc: bool,
+) -> Dict[str, jnp.ndarray]:
+    B = users.shape[0]
+    k_max = max(ks)
+    n_items = i_emb.shape[0]
+    scores = u_emb[users] @ i_emb.T  # [B, n_items]
+    u_train = train_pad[users]  # [B, max_train]
+    # jnp normalizes negative array indices (-1 -> n_items-1) BEFORE OOB
+    # handling, so remap pads to n_items, which 'drop' mode discards.
+    u_train = jnp.where(u_train < 0, n_items, u_train)
+    row_ix = jnp.arange(B, dtype=jnp.int32)[:, None]
+    # Exclude train items: -inf scatter; pads are dropped (OOB under 'drop').
+    masked = scores.at[row_ix, u_train].set(-jnp.inf, mode="drop")
+    _, top_ids = jax.lax.top_k(masked, k_max)
+
+    u_pos = pos_pad[users]
+    u_cnt = pos_cnt[users]
+    per_user = batch_metrics_from_topk(top_ids, u_pos, u_cnt, ks)
+    out = {name: jnp.sum(v * valid[:, None], axis=0) for name, v in per_user.items()}
+    if full_auc:
+        cand = jnp.ones_like(scores, dtype=bool).at[row_ix, u_train].set(False, mode="drop")
+        auc = batch_auc(scores, cand, u_pos, u_cnt)
+        out["auc"] = jnp.sum(auc * valid)
+    else:
+        out["auc"] = jnp.zeros(())  # quirk Q12: 'part' mode reports auc = 0
+    return out
+
+
+class Evaluator:
+    """Holds device-resident protocol state (pads, counts) for a dataset."""
+
+    def __init__(self, dataset: RecDataset, cfg: EvalConfig):
+        self.cfg = cfg
+        self.ks = tuple(cfg.ks)
+        train_pad, _ = dataset.padded_split("train")
+        self.train_pad = jnp.asarray(train_pad)
+        self._splits = {}
+        for which in ("val", "test"):
+            pos_pad, pos_cnt = dataset.padded_split(which)
+            users = dataset.users_of_split(which)
+            self._splits[which] = (
+                jnp.asarray(pos_pad),
+                jnp.asarray(pos_cnt),
+                users,
+            )
+
+    def evaluate(self, u_emb: jnp.ndarray, i_emb: jnp.ndarray, which: str = "val") -> Dict[str, np.ndarray]:
+        """Returns {'recall': [len(ks)], 'precision': ..., 'ndcg': ...,
+        'hit_ratio': ..., 'auc': scalar} averaged over the split's users."""
+        pos_pad, pos_cnt, users = self._splits[which]
+        n_users = len(users)
+        bs = self.cfg.user_batch_size
+        full_auc = self.cfg.test_flag == "full"
+        totals: Dict[str, jnp.ndarray] = {}
+        for start in range(0, max(n_users, 1), bs):
+            batch = users[start : start + bs]
+            pad_len = bs - len(batch)
+            valid = np.ones(len(batch), dtype=np.float32)
+            if pad_len > 0:
+                batch = np.concatenate([batch, np.zeros(pad_len, dtype=np.int32)])
+                valid = np.concatenate([valid, np.zeros(pad_len, dtype=np.float32)])
+            part = _eval_user_batch(
+                u_emb,
+                i_emb,
+                jnp.asarray(batch),
+                jnp.asarray(valid),
+                self.train_pad,
+                pos_pad,
+                pos_cnt,
+                self.ks,
+                full_auc,
+            )
+            for name, v in part.items():
+                totals[name] = totals.get(name, 0) + v
+        return {name: np.asarray(v) / max(n_users, 1) for name, v in totals.items()}

@@ -1,0 +1,161 @@
+"""Ranking metrics.
+
+Two implementations with identical semantics:
+
+  - ``*_host``: plain numpy, mirroring the reference's per-user functions
+    (``MMSSL/utility/metrics.py:4-100`` and the ranking protocol of
+    ``batch_test.py:21-109``).  Used as the golden oracle in tests and for
+    tiny host-side checks.
+  - ``batch_metrics_from_topk``: vectorized jax, computed on device from a
+    top-K id matrix.  This is what the evaluator uses.
+
+NDCG follows the reference's NGCF-lineage convention (quirk Q9,
+``metrics.py:61-71``): ideal DCG is the DCG of the *retrieved* binary vector
+sorted descending (i.e. normalized by the hits actually retrieved within
+max(Ks), not by min(K, |relevant|)).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Host golden implementations (reference semantics)
+# ---------------------------------------------------------------------------
+
+def recall_at_k_host(r: Sequence[int], k: int, n_pos: int) -> float:
+    r = np.asarray(r, dtype=np.float64)[:k]
+    return float(r.sum() / n_pos) if n_pos > 0 else 0.0
+
+
+def precision_at_k_host(r: Sequence[int], k: int) -> float:
+    return float(np.mean(np.asarray(r, dtype=np.float64)[:k]))
+
+
+def hit_at_k_host(r: Sequence[int], k: int) -> float:
+    return 1.0 if np.asarray(r)[:k].sum() > 0 else 0.0
+
+
+def dcg_at_k_host(r: Sequence[float], k: int) -> float:
+    r = np.asarray(r, dtype=np.float64)[:k]
+    if r.size == 0:
+        return 0.0
+    return float(np.sum(r / np.log2(np.arange(2, r.size + 2))))
+
+
+def ndcg_at_k_host(r: Sequence[float], k: int) -> float:
+    dcg_max = dcg_at_k_host(sorted(r, reverse=True), k)
+    if not dcg_max:
+        return 0.0
+    return dcg_at_k_host(r, k) / dcg_max
+
+
+def auc_host(ground_truth: Sequence[int], prediction: Sequence[float]) -> float:
+    """Mann-Whitney AUC with tie averaging (== sklearn.roc_auc_score)."""
+    y = np.asarray(ground_truth, dtype=bool)
+    s = np.asarray(prediction, dtype=np.float64)
+    n_pos, n_neg = int(y.sum()), int((~y).sum())
+    if n_pos == 0 or n_neg == 0:
+        return 0.0
+    pos, neg = s[y], s[~y]
+    greater = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    return float((greater + 0.5 * ties) / (n_pos * n_neg))
+
+
+def rank_binary_hits_host(
+    scores: np.ndarray, candidates: Sequence[int], positives: Sequence[int], k_max: int
+) -> list[int]:
+    """The reference ranking protocol (``ranklist_by_heapq``,
+    batch_test.py:21-36): take top-k_max candidates by score (python heapq
+    tie-order: first-seen wins among equal scores) and mark positives."""
+    import heapq
+
+    item_score = {i: scores[i] for i in candidates}
+    top = heapq.nlargest(k_max, item_score, key=item_score.get)
+    pos = set(positives)
+    return [1 if i in pos else 0 for i in top]
+
+
+# ---------------------------------------------------------------------------
+# Device implementation
+# ---------------------------------------------------------------------------
+
+def batch_metrics_from_topk(
+    topk_ids: jnp.ndarray,  # int32 [B, K_max] ranked item ids
+    pos_pad: jnp.ndarray,  # int32 [B, max_pos] ground-truth items, -1 pad
+    n_pos: jnp.ndarray,  # int32 [B]
+    ks: tuple[int, ...],
+) -> dict[str, jnp.ndarray]:
+    """Per-user recall/precision/ndcg/hit at each K, from ranked top-K ids.
+
+    Returns dict of float32 [B, len(ks)] arrays.  Users with n_pos == 0
+    contribute 0 to recall (reference recall_at_k returns 0 on all_pos_num
+    == 0) and 0 to ndcg/hit/precision via the empty hit vector.
+    """
+    B, k_max = topk_ids.shape
+    # r[b, j] = 1 iff ranked item j is a ground-truth positive.
+    r = (topk_ids[:, :, None] == pos_pad[:, None, :]).any(axis=-1).astype(jnp.float32)
+    discounts = 1.0 / jnp.log2(jnp.arange(2, k_max + 2, dtype=jnp.float32))
+    # Ideal-DCG per Q9: all retrieved hits (within k_max) packed to the front.
+    total_hits = jnp.sum(r, axis=1)  # [B]
+    cum_disc = jnp.cumsum(discounts)  # [k_max]
+
+    recalls, precisions, ndcgs, hits = [], [], [], []
+    for k in ks:
+        rk = r[:, :k]
+        hits_k = jnp.sum(rk, axis=1)
+        recalls.append(jnp.where(n_pos > 0, hits_k / jnp.maximum(n_pos, 1), 0.0))
+        precisions.append(hits_k / k)
+        hits.append((hits_k > 0).astype(jnp.float32))
+        dcg = jnp.sum(rk * discounts[:k], axis=1)
+        # ideal hits at this K = min(total retrieved hits, k)
+        ideal_n = jnp.minimum(total_hits, k).astype(jnp.int32)
+        dcg_max = jnp.where(ideal_n > 0, cum_disc[jnp.maximum(ideal_n - 1, 0)], 0.0)
+        ndcgs.append(jnp.where(dcg_max > 0, dcg / jnp.maximum(dcg_max, 1e-12), 0.0))
+
+    return {
+        "recall": jnp.stack(recalls, axis=1),
+        "precision": jnp.stack(precisions, axis=1),
+        "ndcg": jnp.stack(ndcgs, axis=1),
+        "hit_ratio": jnp.stack(hits, axis=1),
+    }
+
+
+def batch_auc(
+    scores: jnp.ndarray,  # float32 [B, n_items]
+    cand_mask: jnp.ndarray,  # bool [B, n_items] candidate items (non-train)
+    pos_pad: jnp.ndarray,  # int32 [B, max_pos], -1 pad
+    n_pos: jnp.ndarray,  # int32 [B]
+) -> jnp.ndarray:
+    """Per-user AUC over candidate items (reference 'full' mode,
+    batch_test.py:38-68 -> sklearn.roc_auc_score), tie-averaged."""
+    B, n_items = scores.shape
+    max_pos = pos_pad.shape[1]
+    valid_pos = pos_pad >= 0
+    safe_pos = jnp.where(valid_pos, pos_pad, 0)
+    pos_scores = jnp.take_along_axis(scores, safe_pos, axis=1)  # [B, max_pos]
+
+    cand = cand_mask.astype(jnp.float32)  # [B, n_items]
+    # Positive-vs-candidate comparisons.
+    less = (scores[:, None, :] < pos_scores[:, :, None]).astype(jnp.float32)
+    ties = (scores[:, None, :] == pos_scores[:, :, None]).astype(jnp.float32)
+    less_all = jnp.sum(less * cand[:, None, :], axis=-1)  # [B, max_pos]
+    ties_all = jnp.sum(ties * cand[:, None, :], axis=-1)
+    # Remove positive-vs-positive pairs to keep only negatives.
+    pp_less = (pos_scores[:, None, :] < pos_scores[:, :, None]).astype(jnp.float32)
+    pp_ties = (pos_scores[:, None, :] == pos_scores[:, :, None]).astype(jnp.float32)
+    vp = valid_pos.astype(jnp.float32)
+    less_neg = less_all - jnp.sum(pp_less * vp[:, None, :], axis=-1)
+    ties_neg = ties_all - jnp.sum(pp_ties * vp[:, None, :], axis=-1)
+
+    n_cand = jnp.sum(cand, axis=1)  # [B]
+    n_neg = n_cand - n_pos.astype(jnp.float32)
+    num = jnp.sum((less_neg + 0.5 * ties_neg) * vp, axis=1)
+    denom = n_pos.astype(jnp.float32) * n_neg
+    return jnp.where(denom > 0, num / jnp.maximum(denom, 1.0), 0.0)

@@ -1,0 +1,89 @@
+"""Shared neural-net primitives for the model zoo.
+
+Plain-pytree functional modules (init fns returning nested dicts of arrays +
+pure apply fns).  Initializer and normalization semantics follow the torch
+defaults the reference relies on, so parity runs start from the same
+distribution family:
+
+  - ``xavier_uniform``: U(-a, a), a = sqrt(6 / (fan_in + fan_out))
+    (nn.init.xavier_uniform_, used for all embedding tables and projectors,
+    e.g. MMSSL/Models.py:30-31,44-45)
+  - ``kaiming_normal``: N(0, sqrt(2 / fan_in)) (nn.init.kaiming_normal_,
+    applied to the discriminator Linears via weights_init, MMSSL/main.py:135)
+  - ``l2_normalize``: x / max(||x||_2, 1e-12) (torch F.normalize defaults)
+  - ``batchnorm``: biased variance, eps 1e-5, batch statistics (the reference
+    discriminator never enters eval mode so running stats are never consumed)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def xavier_uniform(key: jax.Array, shape: Tuple[int, ...], dtype=jnp.float32) -> jnp.ndarray:
+    fan_in, fan_out = shape[0], shape[-1]
+    a = (6.0 / (fan_in + fan_out)) ** 0.5
+    return jax.random.uniform(key, shape, dtype, minval=-a, maxval=a)
+
+
+def kaiming_normal(key: jax.Array, shape: Tuple[int, int], dtype=jnp.float32) -> jnp.ndarray:
+    """[in, out] weight with std sqrt(2/fan_in) (torch fan_in mode)."""
+    std = (2.0 / shape[0]) ** 0.5
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def torch_linear_bias(key: jax.Array, fan_in: int, fan_out: int, dtype=jnp.float32) -> jnp.ndarray:
+    """torch nn.Linear default bias: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / (fan_in**0.5)
+    return jax.random.uniform(key, (fan_out,), dtype, minval=-bound, maxval=bound)
+
+
+def init_linear(key: jax.Array, fan_in: int, fan_out: int, w_init=xavier_uniform) -> dict:
+    kw, kb = jax.random.split(key)
+    return {"w": w_init(kw, (fan_in, fan_out)), "b": torch_linear_bias(kb, fan_in, fan_out)}
+
+
+def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ p["w"] + p["b"]
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """torch F.normalize(p=2): x / max(||x||, 1e-12)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, 1e-12)
+
+
+def dropout(rng: Optional[jax.Array], x: jnp.ndarray, rate: float, train: bool) -> jnp.ndarray:
+    """Inverted dropout matching torch semantics (scale by 1/(1-p) in train)."""
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def init_batchnorm(dim: int) -> dict:
+    return {"gamma": jnp.ones((dim,)), "beta": jnp.zeros((dim,))}
+
+
+def batchnorm(p: dict, x: jnp.ndarray, eps: float = 1e-5, axis_name: Optional[str] = None) -> jnp.ndarray:
+    """Train-mode BatchNorm1d over axis 0 (biased variance, torch eps).
+
+    When ``axis_name`` is given the batch statistics are reduced across that
+    mesh axis so data-parallel training matches single-device numerics.
+    """
+    mean = jnp.mean(x, axis=0)
+    mean_sq = jnp.mean(x * x, axis=0)
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        mean_sq = jax.lax.pmean(mean_sq, axis_name)
+    var = mean_sq - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    return (x - mean) * inv * p["gamma"] + p["beta"]
+
+
+def leaky_relu(x: jnp.ndarray, slope: float) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, slope * x)

@@ -1,0 +1,208 @@
+"""Sparse graph containers and SpMM for TPU.
+
+The reference leans on cuSPARSE through ``torch.sparse.mm`` for every graph
+propagation (``MMSSL/Models.py:69-73``, ``LATTICE/codes/Models.py:110,129``)
+and on scipy for host-side normalization (``MMSSL/main.py:89-103``).  TPUs
+have no sparse unit, so the design here is:
+
+  - host-side: scipy-based normalizers that bit-match the reference math,
+  - device-side: a static-shape padded COO container (``SparseGraph``) whose
+    SpMM is an XLA gather + ``segment_sum`` (MXU-free but bandwidth-friendly
+    at these graph sizes, <= ~600k nnz x 64 dims), with a Pallas blocked
+    kernel as the optimized path (``mmssl_tpu/ops/spmm_pallas.py``),
+  - fully jittable *device-side* renormalization for graphs that are rebuilt
+    during training (the MMSSL densified adjacency, ``MMSSL/main.py:378-405``),
+    so the rebuild never leaves HBM (the reference round-trips GPU -> python
+    lists -> scipy -> GPU every T batches).
+
+Padding convention: entries beyond ``nnz`` carry ``row == n_rows`` (dropped by
+``segment_sum``) and ``val == 0``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+# ---------------------------------------------------------------------------
+# Host-side normalizers (exact reference math)
+# ---------------------------------------------------------------------------
+
+def csr_norm(mat: sp.spmatrix, mean_flag: bool = False) -> sp.csr_matrix:
+    """Bipartite normalizer, bit-matching ``MMSSL/main.py:89-103``.
+
+    mean_flag=False: D_r^{-1/2} A D_c^{-1/2};  mean_flag=True: D_r^{-1/2} A.
+    The +1e-8 sits under the -0.5 power exactly as in the reference, so
+    zero-degree rows produce huge (not inf) scale factors times zero entries.
+    """
+    mat = sp.csr_matrix(mat)
+    rowsum = np.asarray(mat.sum(1)).flatten()
+    r_inv = np.power(rowsum + 1e-8, -0.5)
+    r_inv[np.isinf(r_inv)] = 0.0
+    out = sp.diags(r_inv) @ mat
+    if not mean_flag:
+        colsum = np.asarray(mat.sum(0)).flatten()
+        c_inv = np.power(colsum + 1e-8, -0.5)
+        c_inv[np.isinf(c_inv)] = 0.0
+        out = out @ sp.diags(c_inv)
+    return sp.csr_matrix(out)
+
+
+def joint_adj(R: sp.spmatrix, n_users: int, n_items: int) -> Tuple[sp.csr_matrix, sp.csr_matrix, sp.csr_matrix]:
+    """(adj, norm_adj, mean_adj) on the joint (n_u+n_i)^2 graph.
+
+    Matches ``create_adj_mat`` (MICRO/codes/utility/load_data.py:105-150):
+    A = [[0, R], [R^T, 0]]; norm_adj = D^{-1}(A + I); mean_adj = D^{-1}A
+    with inf -> 0 on empty rows.
+    """
+    R = sp.csr_matrix(R)
+    n = n_users + n_items
+    adj = sp.bmat(
+        [[None, R], [R.T, None]], format="csr", dtype=np.float32
+    )
+    adj.resize((n, n))
+
+    def _row_norm(a: sp.spmatrix) -> sp.csr_matrix:
+        rowsum = np.asarray(a.sum(1)).flatten()
+        with np.errstate(divide="ignore"):
+            d_inv = np.power(rowsum, -1.0)
+        d_inv[np.isinf(d_inv)] = 0.0
+        return sp.csr_matrix(sp.diags(d_inv) @ a)
+
+    norm_adj = _row_norm(adj + sp.eye(n, dtype=np.float32, format="csr"))
+    mean_adj = _row_norm(adj)
+    return adj, norm_adj, mean_adj
+
+
+# ---------------------------------------------------------------------------
+# Device-side container
+# ---------------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SparseGraph:
+    """Static-shape padded COO sparse matrix resident on device.
+
+    Sorted by row (enables ``indices_are_sorted`` in segment_sum and row-block
+    partitioning for the Pallas kernel).  ``shape`` is static metadata.
+    """
+
+    rows: jnp.ndarray  # int32 [capacity], padding = n_rows
+    cols: jnp.ndarray  # int32 [capacity], padding = 0
+    vals: jnp.ndarray  # float32 [capacity], padding = 0
+    shape: Tuple[int, int]
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.vals), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, shape, leaves):
+        rows, cols, vals = leaves
+        return cls(rows=rows, cols=cols, vals=vals, shape=shape)
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_scipy(cls, mat: sp.spmatrix, capacity: Optional[int] = None, pad_multiple: int = 128) -> "SparseGraph":
+        coo = sp.coo_matrix(mat)
+        order = np.argsort(coo.row, kind="stable")
+        rows = coo.row[order].astype(np.int32)
+        cols = coo.col[order].astype(np.int32)
+        vals = coo.data[order].astype(np.float32)
+        nnz = rows.shape[0]
+        cap = capacity if capacity is not None else _round_up(max(nnz, 1), pad_multiple)
+        if cap < nnz:
+            raise ValueError(f"capacity {cap} < nnz {nnz}")
+        pr = np.full(cap, mat.shape[0], dtype=np.int32)
+        pc = np.zeros(cap, dtype=np.int32)
+        pv = np.zeros(cap, dtype=np.float32)
+        pr[:nnz], pc[:nnz], pv[:nnz] = rows, cols, vals
+        return cls(rows=jnp.asarray(pr), cols=jnp.asarray(pc), vals=jnp.asarray(pv), shape=tuple(mat.shape))
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def capacity(self) -> int:
+        return self.rows.shape[0]
+
+    # -- compute ------------------------------------------------------------
+
+    def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
+        """A @ x with A this [n_rows, n_cols] sparse matrix, x [n_cols, d]."""
+        return coo_spmm(self.rows, self.cols, self.vals, x, self.n_rows)
+
+    def transpose_graph(self) -> "SparseGraph":
+        """Materialize A^T as a new row-sorted SparseGraph (host-free).
+
+        Padding entries (row == n_rows) sort to the end because their column
+        key is remapped to n_cols.
+        """
+        is_pad = self.rows == self.n_rows
+        new_rows = jnp.where(is_pad, self.n_cols, self.cols)
+        order = jnp.argsort(new_rows)
+        return SparseGraph(
+            rows=new_rows[order],
+            cols=jnp.where(is_pad, 0, self.rows)[order],
+            vals=self.vals[order],
+            shape=(self.n_cols, self.n_rows),
+        )
+
+
+@partial(jax.jit, static_argnames=("n_rows",))
+def coo_spmm(rows: jnp.ndarray, cols: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray, n_rows: int) -> jnp.ndarray:
+    """out[r, :] = sum_k vals[k] * x[cols[k], :] for rows[k] == r.
+
+    Differentiable in ``vals`` and ``x`` (XLA transposes the gather/scatter
+    pair for the VJP).  Padding rows == n_rows are dropped by segment_sum.
+    Rows need not be sorted (device-rebuilt graphs are unsorted COO).
+    """
+    gathered = x[cols] * vals[:, None]
+    return jax.ops.segment_sum(gathered, rows, num_segments=n_rows)
+
+
+def device_row_norm_inv_sqrt(
+    rows: jnp.ndarray, cols: jnp.ndarray, valid: jnp.ndarray, shape: Tuple[int, int]
+) -> SparseGraph:
+    """Build a D_r^{-1/2} A normalized graph from raw COO indices on device.
+
+    Jittable equivalent of ``csr_norm(mean_flag=True)`` applied to a binary
+    COO with duplicates (duplicates sum, as scipy csr_matrix construction
+    does): degree counts duplicates, and each duplicate entry carries the
+    same normalized value.  Used for the MMSSL densified adjacency rebuild
+    (``MMSSL/main.py:378-397``) without any host round-trip.
+
+    ``valid`` masks live entries; invalid entries get row == shape[0], val 0.
+    """
+    n_rows = shape[0]
+    ones = valid.astype(jnp.float32)
+    safe_rows = jnp.where(valid, rows, n_rows)
+    deg = jax.ops.segment_sum(ones, safe_rows, num_segments=n_rows)
+    scale = jnp.power(deg + 1e-8, -0.5)
+    vals = jnp.where(valid, scale[jnp.clip(rows, 0, n_rows - 1)], 0.0)
+    return SparseGraph(
+        rows=safe_rows.astype(jnp.int32),
+        cols=jnp.where(valid, cols, 0).astype(jnp.int32),
+        vals=vals.astype(jnp.float32),
+        shape=shape,
+    )
+
+
+def scipy_to_dense(mat: sp.spmatrix) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(sp.csr_matrix(mat).todense(), dtype=np.float32))

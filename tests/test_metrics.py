@@ -1,0 +1,108 @@
+"""Metric semantics: device implementations vs host goldens vs hand values."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmssl_tpu.eval.metrics import (
+    auc_host,
+    batch_auc,
+    batch_metrics_from_topk,
+    dcg_at_k_host,
+    hit_at_k_host,
+    ndcg_at_k_host,
+    precision_at_k_host,
+    rank_binary_hits_host,
+    recall_at_k_host,
+)
+
+
+def test_host_metrics_hand_values():
+    r = [1, 0, 1, 0, 0]
+    assert recall_at_k_host(r, 5, 4) == pytest.approx(0.5)
+    assert precision_at_k_host(r, 5) == pytest.approx(0.4)
+    assert hit_at_k_host(r, 5) == 1.0
+    assert hit_at_k_host([0, 0], 2) == 0.0
+    # DCG: 1/log2(2) + 1/log2(4) = 1.5
+    assert dcg_at_k_host(r, 5) == pytest.approx(1.0 + 1.0 / 2.0)
+    # Q9 ideal: sorted r = [1,1,0,0,0] -> 1 + 1/log2(3)
+    ideal = 1.0 + 1.0 / np.log2(3)
+    assert ndcg_at_k_host(r, 5) == pytest.approx(1.5 / ideal)
+    assert ndcg_at_k_host([0, 0, 0], 3) == 0.0
+
+
+def test_ndcg_q9_convention():
+    # With 10 relevant items but only 2 retrieved within K_max, the reference
+    # normalizes by DCG of the retrieved hits, NOT min(K, 10).
+    r = [0, 1, 0, 1]
+    ideal = 1.0 + 1.0 / np.log2(3)
+    got = (1.0 / np.log2(3) + 1.0 / np.log2(5)) / ideal
+    assert ndcg_at_k_host(r, 4) == pytest.approx(got)
+
+
+def test_batch_metrics_vs_host():
+    rng = np.random.default_rng(0)
+    B, k_max, n_items, max_pos = 8, 10, 40, 5
+    ks = (3, 5, 10)
+    topk = np.stack([rng.choice(n_items, size=k_max, replace=False) for _ in range(B)]).astype(np.int32)
+    pos_pad = np.full((B, max_pos), -1, dtype=np.int32)
+    n_pos = np.zeros(B, dtype=np.int32)
+    for b in range(B):
+        k = int(rng.integers(0, max_pos + 1))
+        pos = rng.choice(n_items, size=k, replace=False)
+        pos_pad[b, :k] = pos
+        n_pos[b] = k
+    out = batch_metrics_from_topk(jnp.asarray(topk), jnp.asarray(pos_pad), jnp.asarray(n_pos), ks)
+    for b in range(B):
+        pos_set = set(pos_pad[b, : n_pos[b]].tolist())
+        r = [1 if i in pos_set else 0 for i in topk[b]]
+        for j, k in enumerate(ks):
+            assert out["recall"][b, j] == pytest.approx(recall_at_k_host(r, k, n_pos[b]), abs=1e-6)
+            assert out["precision"][b, j] == pytest.approx(precision_at_k_host(r, k), abs=1e-6)
+            assert out["ndcg"][b, j] == pytest.approx(ndcg_at_k_host(r, k), abs=1e-5)
+            assert out["hit_ratio"][b, j] == pytest.approx(hit_at_k_host(r, k), abs=1e-6)
+
+
+def test_auc_host_vs_sklearn():
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(1)
+    y = (rng.random(50) < 0.3).astype(int)
+    y[0] = 1
+    y[1] = 0
+    s = rng.normal(size=50)
+    s[10] = s[11]  # force a tie
+    assert auc_host(y, s) == pytest.approx(roc_auc_score(y, s))
+
+
+def test_batch_auc_vs_host():
+    rng = np.random.default_rng(2)
+    B, n_items, max_pos = 4, 30, 4
+    scores = rng.normal(size=(B, n_items)).astype(np.float32)
+    cand = rng.random((B, n_items)) < 0.8
+    pos_pad = np.full((B, max_pos), -1, dtype=np.int32)
+    n_pos = np.zeros(B, dtype=np.int32)
+    for b in range(B):
+        cand_items = np.flatnonzero(cand[b])
+        k = int(rng.integers(1, min(max_pos, len(cand_items)) + 1))
+        pos = rng.choice(cand_items, size=k, replace=False)
+        pos_pad[b, :k] = pos
+        n_pos[b] = k
+    out = np.asarray(
+        batch_auc(jnp.asarray(scores), jnp.asarray(cand), jnp.asarray(pos_pad), jnp.asarray(n_pos))
+    )
+    for b in range(B):
+        cand_items = np.flatnonzero(cand[b])
+        pos_set = set(pos_pad[b, : n_pos[b]].tolist())
+        y = [1 if i in pos_set else 0 for i in cand_items]
+        s = scores[b, cand_items]
+        assert out[b] == pytest.approx(auc_host(y, s), abs=1e-5)
+
+
+def test_rank_protocol_host():
+    # ranklist_by_heapq semantics: top-K_max over candidate scores.
+    scores = np.array([0.9, 0.1, 0.8, 0.7, 0.2])
+    candidates = [0, 2, 3, 4]  # item 1 is a train item -> excluded
+    r = rank_binary_hits_host(scores, candidates, positives=[2, 4], k_max=3)
+    # ranked: 0 (0.9), 2 (0.8), 3 (0.7) -> hits at position 2 only
+    assert r == [0, 1, 0]

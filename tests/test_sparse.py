@@ -1,0 +1,126 @@
+"""Sparse ops: normalizers vs reference math, SpMM vs dense, device renorm."""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from mmssl_tpu.ops.sparse import (
+    SparseGraph,
+    coo_spmm,
+    csr_norm,
+    device_row_norm_inv_sqrt,
+    joint_adj,
+)
+
+
+def _rand_csr(rng, n, m, density=0.2):
+    mask = rng.random((n, m)) < density
+    return sp.csr_matrix(mask.astype(np.float32))
+
+
+def test_csr_norm_reference_math():
+    # Reference formula (MMSSL/main.py:89-103): D_r^{-1/2} A D_c^{-1/2}
+    # with +1e-8 under the -0.5 power.
+    rng = np.random.default_rng(0)
+    A = _rand_csr(rng, 7, 5)
+    dense = np.asarray(A.todense())
+    r = np.power(dense.sum(1) + 1e-8, -0.5)
+    c = np.power(dense.sum(0) + 1e-8, -0.5)
+    r[np.isinf(r)] = 0.0
+    c[np.isinf(c)] = 0.0
+    expect_sym = r[:, None] * dense * c[None, :]
+    expect_mean = r[:, None] * dense
+    np.testing.assert_allclose(csr_norm(A).todense(), expect_sym, rtol=1e-6)
+    np.testing.assert_allclose(csr_norm(A, mean_flag=True).todense(), expect_mean, rtol=1e-6)
+
+
+def test_csr_norm_zero_rows():
+    A = sp.csr_matrix(np.array([[0, 0], [1, 1]], dtype=np.float32))
+    out = np.asarray(csr_norm(A, mean_flag=True).todense())
+    np.testing.assert_allclose(out[0], 0.0)  # zero-degree row stays zero
+    np.testing.assert_allclose(out[1], 1 / np.sqrt(2 + 1e-8), rtol=1e-6)
+
+
+def test_joint_adj():
+    # create_adj_mat semantics (MICRO/codes/utility/load_data.py:105-150).
+    rng = np.random.default_rng(1)
+    R = _rand_csr(rng, 4, 3)
+    adj, norm_adj, mean_adj = joint_adj(R, 4, 3)
+    n = 7
+    dense_R = np.asarray(R.todense())
+    A = np.zeros((n, n), dtype=np.float32)
+    A[:4, 4:] = dense_R
+    A[4:, :4] = dense_R.T
+    np.testing.assert_allclose(np.asarray(adj.todense()), A)
+    AI = A + np.eye(n, dtype=np.float32)
+    with np.errstate(divide="ignore"):
+        d = 1.0 / AI.sum(1)
+    d[np.isinf(d)] = 0.0
+    np.testing.assert_allclose(np.asarray(norm_adj.todense()), d[:, None] * AI, rtol=1e-6)
+    with np.errstate(divide="ignore"):
+        d2 = 1.0 / A.sum(1)
+    d2[np.isinf(d2)] = 0.0
+    np.testing.assert_allclose(np.asarray(mean_adj.todense()), d2[:, None] * A, rtol=1e-6)
+
+
+def test_spmm_matches_dense():
+    rng = np.random.default_rng(2)
+    A = _rand_csr(rng, 9, 6, density=0.3)
+    A.data[:] = rng.normal(size=A.nnz).astype(np.float32)
+    X = rng.normal(size=(6, 4)).astype(np.float32)
+    g = SparseGraph.from_scipy(A)
+    assert g.capacity % 128 == 0  # padded for TPU alignment
+    out = np.asarray(g.spmm(jnp.asarray(X)))
+    np.testing.assert_allclose(out, A @ X, rtol=1e-5, atol=1e-6)
+
+
+def test_spmm_grad():
+    import jax
+
+    rng = np.random.default_rng(3)
+    A = _rand_csr(rng, 5, 4, density=0.4)
+    g = SparseGraph.from_scipy(A)
+    X = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+
+    def f(x):
+        return jnp.sum(g.spmm(x) ** 2)
+
+    grad = jax.grad(f)(X)
+    dense = jnp.asarray(np.asarray(A.todense()))
+    expect = jax.grad(lambda x: jnp.sum((dense @ x) ** 2))(X)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(expect), rtol=1e-5, atol=1e-6)
+
+
+def test_transpose_graph():
+    rng = np.random.default_rng(4)
+    A = _rand_csr(rng, 6, 8, density=0.3)
+    A.data[:] = rng.normal(size=A.nnz).astype(np.float32)
+    g = SparseGraph.from_scipy(A)
+    gt = g.transpose_graph()
+    X = rng.normal(size=(6, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(gt.spmm(jnp.asarray(X))), A.T @ X, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_device_row_norm_matches_scipy_with_duplicates():
+    # The densified-graph rebuild (MMSSL/main.py:378-397) builds csr_matrix
+    # from index lists with duplicates (summed by scipy), then csr_norm(mean).
+    rows = np.array([0, 0, 1, 2, 2, 2, 0], dtype=np.int32)  # duplicate (0, 1)
+    cols = np.array([1, 1, 0, 3, 2, 1, 0], dtype=np.int32)
+    n_rows, n_cols = 4, 5
+    ref = sp.csr_matrix(
+        (np.ones(len(rows), dtype=np.float32), (rows, cols)), shape=(n_rows, n_cols)
+    )
+    ref_norm = csr_norm(ref, mean_flag=True)
+
+    cap = 16
+    pr = np.zeros(cap, dtype=np.int32)
+    pc = np.zeros(cap, dtype=np.int32)
+    valid = np.zeros(cap, dtype=bool)
+    pr[: len(rows)], pc[: len(rows)], valid[: len(rows)] = rows, cols, True
+    g = device_row_norm_inv_sqrt(jnp.asarray(pr), jnp.asarray(pc), jnp.asarray(valid), (n_rows, n_cols))
+    X = np.random.default_rng(5).normal(size=(n_cols, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(g.spmm(jnp.asarray(X))), ref_norm @ X, rtol=1e-5, atol=1e-6
+    )
