@@ -1,0 +1,99 @@
+"""Cross-view InfoNCE contrastive loss.
+
+Contract: ``batched_contrastive_loss`` — two reference variants with the same
+formula, differing only in a +1e-8 inside the log:
+
+  - MMSSL live version (``MMSSL/main.py:218-249``): eps = 1e-8
+  - MICRO / Models.py version (``MICRO/codes/Models.py:74-93``): eps = 0
+
+For each row i over N nodes:
+
+  loss_i = -log( exp(s12[i,i]/tau)
+                 / (sum_j exp(s11[i,j]/tau) + sum_j exp(s12[i,j]/tau)
+                    - exp(s11[i,i]/tau)) + eps )
+
+with s## cosine similarities of L2-normalized inputs.  The reference chunks
+rows x cols on host python loops purely to bound GPU memory; numerics are the
+plain full-matrix formula.  Here rows are chunked inside one jit program (a
+python-unrolled loop over static row blocks, each block a [chunk, N] MXU
+matmul), keeping peak memory at chunk x N while XLA fuses exp/sums.  exp is
+safe un-shifted: |sim/tau| <= 1/tau (cosine in [-1, 1]), matching reference
+numerics exactly.
+
+``axis_name`` enables the sharded form: each device holds a column shard of
+z1/z2; denominators are psum'd across the axis so the result equals the
+unsharded computation (the catalog axis is the "sequence" axis of this
+workload, SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mmssl_tpu.models.common import l2_normalize
+
+
+def _chunk_bounds(n: int, chunk: int):
+    return [(s, min(s + chunk, n)) for s in range(0, n, chunk)]
+
+
+def infonce(
+    z1: jnp.ndarray,  # [N, d]
+    z2: jnp.ndarray,  # [N, d]
+    tau: float,
+    eps: float = 1e-8,
+    row_chunk: int = 4096,
+) -> jnp.ndarray:
+    """Mean InfoNCE loss between views z1 (anchor) and z2."""
+    n = z1.shape[0]
+    a = l2_normalize(z1, axis=1)
+    b = l2_normalize(z2, axis=1)
+    losses = []
+    for s, e in _chunk_bounds(n, row_chunk):
+        ra = a[s:e]  # [c, d]
+        s11 = jnp.exp((ra @ a.T) / tau)  # [c, N]
+        s12 = jnp.exp((ra @ b.T) / tau)
+        idx = jnp.arange(s, e)
+        between_diag = s12[jnp.arange(e - s), idx]
+        refl_diag = s11[jnp.arange(e - s), idx]
+        denom = jnp.sum(s11, axis=1) + jnp.sum(s12, axis=1) - refl_diag
+        losses.append(-jnp.log(between_diag / denom + eps))
+    return jnp.mean(jnp.concatenate(losses))
+
+
+def infonce_sharded(
+    z1_local: jnp.ndarray,  # [N_local, d] row shard on this device
+    z2_local: jnp.ndarray,
+    tau: float,
+    eps: float,
+    axis_name: str,
+) -> jnp.ndarray:
+    """Sharded InfoNCE inside shard_map: rows of z1/z2 are sharded over
+    ``axis_name``; each device all-gathers the column side and psums the
+    final mean so every device returns the global loss.
+
+    Equivalent to ``infonce`` on the concatenated arrays (denominators are
+    global sums; the diagonal terms live on the owning device).
+    """
+    a_local = l2_normalize(z1_local, axis=1)
+    b_local = l2_normalize(z2_local, axis=1)
+    # Column side: full matrices via all-gather (d is small, 64).
+    a_full = jax.lax.all_gather(a_local, axis_name, axis=0, tiled=True)
+    b_full = jax.lax.all_gather(b_local, axis_name, axis=0, tiled=True)
+    n_local = a_local.shape[0]
+    shard = jax.lax.axis_index(axis_name)
+    offset = shard * n_local
+    s11 = jnp.exp((a_local @ a_full.T) / tau)
+    s12 = jnp.exp((a_local @ b_full.T) / tau)
+    rows = jnp.arange(n_local)
+    diag_cols = rows + offset
+    between_diag = s12[rows, diag_cols]
+    refl_diag = s11[rows, diag_cols]
+    denom = jnp.sum(s11, axis=1) + jnp.sum(s12, axis=1) - refl_diag
+    local_sum = jnp.sum(-jnp.log(between_diag / denom + eps))
+    total = jax.lax.psum(local_sum, axis_name)
+    n_global = n_local * jax.lax.axis_size(axis_name)
+    return total / n_global

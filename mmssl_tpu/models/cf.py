@@ -142,3 +142,31 @@ def apply_ngcf(
         rng,
         concat_layers=True,
     )
+
+
+def cf_branch(
+    params: dict,
+    joint: SparseGraph,
+    cfg: ModelConfig,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> CFOutput:
+    """The CF branch shared by LATTICE/MICRO (LATTICE/codes/Models.py:106-138):
+    cf_model selects lightgcn (mean stack) / ngcf (normalized mean stack) /
+    mf (raw tables) over the shared embedding tables in ``params``."""
+    if cfg.cf_model == "lightgcn":
+        return lightgcn_propagate(params["user_emb"], params["item_emb"], joint, cfg.n_ui_layers)
+    if cfg.cf_model == "ngcf":
+        return ngcf_propagate(
+            params,
+            params["user_emb"],
+            params["item_emb"],
+            joint,
+            cfg.mess_dropout,
+            train,
+            rng,
+            concat_layers=False,
+        )
+    if cfg.cf_model == "mf":
+        return CFOutput(params["user_emb"], params["item_emb"])
+    raise ValueError(f"unknown cf_model {cfg.cf_model}")

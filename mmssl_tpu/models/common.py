@@ -35,6 +35,14 @@ def kaiming_normal(key: jax.Array, shape: Tuple[int, int], dtype=jnp.float32) ->
     return jax.random.normal(key, shape, dtype) * std
 
 
+def torch_linear_default(key: jax.Array, shape: Tuple[int, int], dtype=jnp.float32) -> jnp.ndarray:
+    """torch nn.Linear default weight init: kaiming_uniform(a=sqrt(5)) ==
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for an [in, out] weight.  LATTICE/MICRO
+    leave their feature projectors at this default (no explicit xavier)."""
+    bound = 1.0 / (shape[0] ** 0.5)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
 def torch_linear_bias(key: jax.Array, fan_in: int, fan_out: int, dtype=jnp.float32) -> jnp.ndarray:
     """torch nn.Linear default bias: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
     bound = 1.0 / (fan_in**0.5)
@@ -51,9 +59,15 @@ def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-    """torch F.normalize(p=2): x / max(||x||, 1e-12)."""
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(norm, 1e-12)
+    """torch F.normalize(p=2): x / max(||x||, 1e-12).
+
+    Implemented as x / sqrt(max(sum(x^2), 1e-24)) so the gradient at x == 0
+    is 1/eps (clamped branch, zero grad through the norm) instead of the nan
+    that jnp.linalg.norm produces — matching torch's clamp_min semantics.
+    Zero rows occur naturally (users with no interactions propagate zeros).
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, 1e-24))
 
 
 def dropout(rng: Optional[jax.Array], x: jnp.ndarray, rate: float, train: bool) -> jnp.ndarray:

@@ -1,0 +1,247 @@
+"""MMSSL generator + discriminator (the flagship model).
+
+Behavior contract: ``MMSSL/Models.py:17-245`` and its quirk ledger
+(SURVEY.md §8.1), generalized from hardcoded image+text to an ordered list of
+N modalities (with 2 modalities the math reduces exactly to the reference).
+
+Forward structure (Models.py:171-220):
+  1. per-modality projector + dropout on raw item features
+  2. one round of bipartite feature propagation per modality
+     (ui @ feats, iu @ user_feats) and modality-ID propagation over the
+     *densified* per-modality graphs (mod_ui @ item_emb, mod_iu @ user_emb).
+     The reference loops ``args.layers`` times but never reassigns the loop
+     input, so every iteration recomputes identical values — we compute once.
+  3. "multi-head self-attention" over the modality axis of the ID embeddings.
+     Faithfully reproduced including quirks Q1 (K is recomputed from Q) and
+     Q2 (the model_cat_rate rescale of the output is computed-and-discarded).
+     Note: because the attention weights are softmax-normalized over the
+     source-modality axis and V is broadcast over that same axis, the
+     attention output algebraically equals V repeated per head times w_cat —
+     the quirks make w_q/w_k gradient-free.  We keep the faithful form.
+  4. u/i = id_emb + id_cat_rate * l2norm(mean over modalities)
+  5. n_ui_layers LightGCN passes over the normalized u-i graphs with quirk Q3
+     (row-softmax wrapping on the last layer), mean over the layer stack
+  6. residual fusion: += model_cat_rate * l2norm(per-modality feats)
+
+Discriminator (Models.py:224-245): MLP n_items -> n/4 -> n/8 -> 1 with
+LeakyReLU(negative_slope=True == 1.0, quirk Q14 -> identity), BatchNorm1d,
+Dropout, and a 100 * sigmoid output head.  Linear weights use kaiming-normal
+with zero bias (``weights_init``, MMSSL/main.py:135-138).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Mapping, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mmssl_tpu.config import ModelConfig, ParityConfig
+from mmssl_tpu.models.common import (
+    batchnorm,
+    dropout,
+    init_batchnorm,
+    init_linear,
+    kaiming_normal,
+    l2_normalize,
+    leaky_relu,
+    linear,
+    xavier_uniform,
+)
+from mmssl_tpu.ops.sparse import SparseGraph
+
+
+class BipartiteGraphs(NamedTuple):
+    """Normalized interaction graphs feeding the forward pass.
+
+    ``ui``/``iu`` are the (static) normalized interaction graphs; ``mod_ui``/
+    ``mod_iu`` are the per-modality densified graphs that start equal to
+    ui/iu (MMSSL/main.py:68-69) and are rebuilt during training.
+    """
+
+    ui: SparseGraph  # [n_users, n_items]
+    iu: SparseGraph  # [n_items, n_users]
+    mod_ui: Dict[str, SparseGraph]
+    mod_iu: Dict[str, SparseGraph]
+
+
+class MMSSLOutput(NamedTuple):
+    user_emb: jnp.ndarray  # [n_users, d] final fused user embeddings
+    item_emb: jnp.ndarray  # [n_items, d]
+    mm_user_feats: Dict[str, jnp.ndarray]  # feature-propagated, per modality
+    mm_item_feats: Dict[str, jnp.ndarray]
+    mm_user_id: Dict[str, jnp.ndarray]  # densified-graph ID propagation
+    mm_item_id: Dict[str, jnp.ndarray]
+
+
+def init_mmssl(
+    key: jax.Array,
+    n_users: int,
+    n_items: int,
+    feat_dims: Mapping[str, int],
+    cfg: ModelConfig,
+) -> dict:
+    d = cfg.embed_size
+    modalities = sorted(feat_dims)
+    keys = jax.random.split(key, 6 + len(modalities))
+    params = {
+        "user_emb": xavier_uniform(keys[0], (n_users, d)),
+        "item_emb": xavier_uniform(keys[1], (n_items, d)),
+        "w_q": xavier_uniform(keys[2], (d, d)),
+        # w_k / w_v exist in the reference parameter dict but are forward-dead
+        # under quirk Q1 (K recomputed from Q, V raw); kept for checkpoint
+        # completeness.
+        "w_k": xavier_uniform(keys[3], (d, d)),
+        "w_v": xavier_uniform(keys[4], (d, d)),
+        "w_cat": xavier_uniform(keys[5], (cfg.head_num * d, d)),
+        "proj": {},
+    }
+    for i, m in enumerate(modalities):
+        params["proj"][m] = init_linear(keys[6 + i], feat_dims[m], d)
+    return params
+
+
+def modality_attention(
+    params: dict,
+    emb_stack: jnp.ndarray,  # [M, N, d] per-modality embeddings
+    head_num: int,
+    parity: ParityConfig,
+    model_cat_rate: float,
+) -> jnp.ndarray:
+    """Faithful ``multi_head_self_attention`` (Models.py:139-169).
+
+    Returns [M, N, d].
+    """
+    M, N, d = emb_stack.shape
+    dh = d // head_num
+    q = emb_stack
+    Q = q @ params["w_q"]
+    K = Q if parity.attention_k_equals_q else q @ params["w_k"]
+    V = q  # reference uses raw v (w_v unused)
+    Qh = Q.reshape(M, N, head_num, dh).transpose(2, 0, 1, 3)  # [H, M, N, dh]
+    Kh = K.reshape(M, N, head_num, dh).transpose(2, 0, 1, 3)
+    att = jnp.einsum("hmnd,hsnd->hmsn", Qh, Kh) / math.sqrt(float(d) / head_num)
+    att = jax.nn.softmax(att, axis=2)  # over source modality
+    # Reference broadcast: V indexed by the *target* modality (SURVEY.md Q1/Q2
+    # discussion); sum over source modalities of att * V[target].
+    Z = jnp.einsum("hmsn,mnd->hmnd", att, V)  # [H, M, N, d]
+    Zc = Z.transpose(1, 2, 0, 3).reshape(M, N, head_num * d)
+    Z = Zc @ params["w_cat"]
+    if not parity.discard_attention_rescale:
+        Z = model_cat_rate * l2_normalize(Z, axis=2)
+    return Z
+
+
+def apply_mmssl(
+    params: dict,
+    graphs: BipartiteGraphs,
+    feats: Mapping[str, jnp.ndarray],  # modality -> [n_items, feat_dim]
+    cfg: ModelConfig,
+    parity: ParityConfig,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> MMSSLOutput:
+    modalities = sorted(feats)
+    d = cfg.embed_size
+
+    # 1-2. projection + propagation per modality.
+    mm_user_feats: Dict[str, jnp.ndarray] = {}
+    mm_item_feats: Dict[str, jnp.ndarray] = {}
+    mm_user_id: Dict[str, jnp.ndarray] = {}
+    mm_item_id: Dict[str, jnp.ndarray] = {}
+    for m in modalities:
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = None
+        proj = dropout(sub, linear(params["proj"][m], feats[m]), cfg.drop_rate, train)
+        user_f = graphs.ui.spmm(proj)
+        item_f = graphs.iu.spmm(user_f)
+        mm_user_feats[m] = user_f
+        mm_item_feats[m] = item_f
+        mm_user_id[m] = graphs.mod_ui[m].spmm(params["item_emb"])
+        mm_item_id[m] = graphs.mod_iu[m].spmm(params["user_emb"])
+
+    # 3. modality attention fusion over ID embeddings.
+    user_stack = jnp.stack([mm_user_id[m] for m in modalities], axis=0)
+    item_stack = jnp.stack([mm_item_id[m] for m in modalities], axis=0)
+    user_z = modality_attention(params, user_stack, cfg.head_num, parity, cfg.model_cat_rate)
+    item_z = modality_attention(params, item_stack, cfg.head_num, parity, cfg.model_cat_rate)
+    user_fused = jnp.mean(user_z, axis=0)
+    item_fused = jnp.mean(item_z, axis=0)
+
+    # 4. residual into ID embeddings.
+    u_g = params["user_emb"] + cfg.id_cat_rate * l2_normalize(user_fused, axis=1)
+    i_g = params["item_emb"] + cfg.id_cat_rate * l2_normalize(item_fused, axis=1)
+
+    # 5. LightGCN over the u-i graph with quirk Q3 on the last layer.
+    user_acc, item_acc = u_g, i_g
+    u_cur, i_cur = u_g, i_g
+    for layer in range(cfg.n_ui_layers):
+        last = layer == cfg.n_ui_layers - 1
+        u_nxt = graphs.ui.spmm(i_cur)
+        if last and parity.softmax_last_gcn_layer:
+            u_nxt = jax.nn.softmax(u_nxt, axis=-1)
+        i_nxt = graphs.iu.spmm(u_nxt)
+        if last and parity.softmax_last_gcn_layer:
+            i_nxt = jax.nn.softmax(i_nxt, axis=-1)
+        user_acc = user_acc + u_nxt
+        item_acc = item_acc + i_nxt
+        u_cur, i_cur = u_nxt, i_nxt
+    u_g = user_acc / (cfg.n_ui_layers + 1)
+    i_g = item_acc / (cfg.n_ui_layers + 1)
+
+    # 6. modality-feature residuals.
+    for m in modalities:
+        u_g = u_g + cfg.model_cat_rate * l2_normalize(mm_user_feats[m], axis=1)
+        i_g = i_g + cfg.model_cat_rate * l2_normalize(mm_item_feats[m], axis=1)
+
+    return MMSSLOutput(
+        user_emb=u_g,
+        item_emb=i_g,
+        mm_user_feats=mm_user_feats,
+        mm_item_feats=mm_item_feats,
+        mm_user_id=mm_user_id,
+        mm_item_id=mm_item_id,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discriminator
+# ---------------------------------------------------------------------------
+
+def init_discriminator(key: jax.Array, n_items: int, cfg: ModelConfig) -> dict:
+    h1, h2 = n_items // 4, n_items // 8
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "l1": {"w": kaiming_normal(k1, (n_items, h1)), "b": jnp.zeros((h1,))},
+        "bn1": init_batchnorm(h1),
+        "l2": {"w": kaiming_normal(k2, (h1, h2)), "b": jnp.zeros((h2,))},
+        "bn2": init_batchnorm(h2),
+        "l3": {"w": kaiming_normal(k3, (h2, 1)), "b": jnp.zeros((1,))},
+    }
+
+
+def apply_discriminator(
+    params: dict,
+    x: jnp.ndarray,  # [B, n_items] full-catalog score rows
+    cfg: ModelConfig,
+    parity: ParityConfig,
+    train: bool = True,
+    rng: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Returns [B] scores in [0, 100] (quirk Q8: 100 * sigmoid)."""
+    slope = 1.0 if parity.discriminator_identity_leak else 0.01
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    h = leaky_relu(linear(params["l1"], x), slope)
+    h = batchnorm(params["bn1"], h, axis_name=axis_name)
+    h = dropout(r1, h, cfg.g_drop1, train)
+    h = leaky_relu(linear(params["l2"], h), slope)
+    h = batchnorm(params["bn2"], h, axis_name=axis_name)
+    h = dropout(r2, h, cfg.g_drop2, train)
+    out = 100.0 * jax.nn.sigmoid(linear(params["l3"], h))
+    return out[:, 0]

@@ -1,0 +1,200 @@
+"""Model zoo: shape/grad sanity + structural invariants of the quirky math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from mmssl_tpu.config import ModelConfig, ParityConfig
+from mmssl_tpu.models import (
+    BipartiteGraphs,
+    apply_discriminator,
+    apply_lattice,
+    apply_lightgcn,
+    apply_mf,
+    apply_micro,
+    apply_mmssl,
+    apply_ngcf,
+    init_discriminator,
+    init_lattice,
+    init_lightgcn,
+    init_mf,
+    init_micro,
+    init_mmssl,
+    init_ngcf,
+)
+from mmssl_tpu.models.lattice import build_original_adjs
+from mmssl_tpu.models.micro import build_original_adjs_dense, build_original_adjs_sparse
+from mmssl_tpu.models.mmssl import modality_attention
+from mmssl_tpu.ops.sparse import SparseGraph, csr_norm, joint_adj
+
+N_USERS, N_ITEMS, D = 20, 12, 8
+FEAT_DIMS = {"image": 16, "text": 10}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    R = sp.csr_matrix((rng.random((N_USERS, N_ITEMS)) < 0.3).astype(np.float32))
+    ui = SparseGraph.from_scipy(csr_norm(R, mean_flag=True))
+    iu = SparseGraph.from_scipy(csr_norm(R.T, mean_flag=True))
+    _, norm_adj, _ = joint_adj(R, N_USERS, N_ITEMS)
+    joint = SparseGraph.from_scipy(norm_adj)
+    feats = {
+        m: jnp.asarray(rng.normal(size=(N_ITEMS, dim)).astype(np.float32))
+        for m, dim in FEAT_DIMS.items()
+    }
+    cfg = ModelConfig(embed_size=D, n_ui_layers=2, head_num=2, knn_topk=3)
+    return R, ui, iu, joint, feats, cfg
+
+
+def test_mf_lightgcn_ngcf_shapes(setup):
+    _, _, _, joint, _, cfg = setup
+    key = jax.random.key(0)
+    out = apply_mf(init_mf(key, N_USERS, N_ITEMS, cfg))
+    assert out.user_emb.shape == (N_USERS, D) and out.item_emb.shape == (N_ITEMS, D)
+    out = apply_lightgcn(init_lightgcn(key, N_USERS, N_ITEMS, cfg), joint, cfg)
+    assert out.user_emb.shape == (N_USERS, D)
+    out = apply_ngcf(init_ngcf(key, N_USERS, N_ITEMS, cfg), joint, cfg)
+    assert out.user_emb.shape == (N_USERS, D * (cfg.n_ui_layers + 1))  # concat variant
+
+
+def test_lightgcn_matches_dense_math(setup):
+    R, _, _, joint, _, cfg = setup
+    params = init_lightgcn(jax.random.key(1), N_USERS, N_ITEMS, cfg)
+    out = apply_lightgcn(params, joint, cfg)
+    # Dense re-computation: ego stack mean of joint-adj powers.
+    _, norm_adj, _ = joint_adj(R, N_USERS, N_ITEMS)
+    A = np.asarray(norm_adj.todense())
+    ego = np.concatenate([np.asarray(params["user_emb"]), np.asarray(params["item_emb"])])
+    stack = [ego]
+    h = ego
+    for _ in range(cfg.n_ui_layers):
+        h = A @ h
+        stack.append(h)
+    mean = np.mean(stack, axis=0)
+    np.testing.assert_allclose(np.asarray(out.user_emb), mean[:N_USERS], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.item_emb), mean[N_USERS:], rtol=1e-4, atol=1e-5)
+
+
+def test_attention_collapse_invariant(setup):
+    # Because softmax over the source-modality axis multiplies a V broadcast
+    # over that axis, the faithful attention must equal concat_h(V) @ w_cat
+    # regardless of w_q (SURVEY.md Q1/Q2 discussion).
+    *_, cfg = setup
+    params = init_mmssl(jax.random.key(2), N_USERS, N_ITEMS, FEAT_DIMS, cfg)
+    rng = np.random.default_rng(3)
+    stack = jnp.asarray(rng.normal(size=(2, 5, D)).astype(np.float32))
+    parity = ParityConfig()
+    out = modality_attention(params, stack, cfg.head_num, parity, 0.55)
+    w_cat = np.asarray(params["w_cat"])  # [H*D, D]
+    w_eff = sum(w_cat[h * D : (h + 1) * D] for h in range(cfg.head_num))
+    want = np.asarray(stack) @ w_eff
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+    # And changing w_q must not change the output under parity.
+    params2 = dict(params, w_q=params["w_q"] * 3.0)
+    out2 = modality_attention(params2, stack, cfg.head_num, parity, 0.55)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-5, atol=1e-6)
+
+
+def test_mmssl_forward(setup):
+    _, ui, iu, _, feats, cfg = setup
+    params = init_mmssl(jax.random.key(4), N_USERS, N_ITEMS, FEAT_DIMS, cfg)
+    graphs = BipartiteGraphs(ui=ui, iu=iu, mod_ui={m: ui for m in feats}, mod_iu={m: iu for m in feats})
+    parity = ParityConfig()
+    out = apply_mmssl(params, graphs, feats, cfg, parity, train=False)
+    assert out.user_emb.shape == (N_USERS, D)
+    assert out.item_emb.shape == (N_ITEMS, D)
+    for m in feats:
+        assert out.mm_user_feats[m].shape == (N_USERS, D)
+        assert out.mm_item_id[m].shape == (N_ITEMS, D)
+    assert bool(jnp.isfinite(out.user_emb).all())
+    # Eval forward is deterministic; train forward with dropout differs.
+    out2 = apply_mmssl(params, graphs, feats, cfg, parity, train=False)
+    np.testing.assert_allclose(np.asarray(out.user_emb), np.asarray(out2.user_emb))
+    out3 = apply_mmssl(params, graphs, feats, cfg, parity, train=True, rng=jax.random.key(1))
+    assert not np.allclose(np.asarray(out.user_emb), np.asarray(out3.user_emb))
+
+
+def test_mmssl_grad_flows(setup):
+    _, ui, iu, _, feats, cfg = setup
+    params = init_mmssl(jax.random.key(5), N_USERS, N_ITEMS, FEAT_DIMS, cfg)
+    graphs = BipartiteGraphs(ui=ui, iu=iu, mod_ui={m: ui for m in feats}, mod_iu={m: iu for m in feats})
+    parity = ParityConfig()
+
+    def loss(p):
+        out = apply_mmssl(p, graphs, feats, cfg, parity, train=False)
+        return jnp.sum(out.user_emb**2) + jnp.sum(out.item_emb**2)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["user_emb"]).sum()) > 0
+    assert float(jnp.abs(g["proj"]["image"]["w"]).sum()) > 0
+    assert float(jnp.abs(g["w_cat"]).sum()) > 0
+    # Q1/Q2 make w_q gradient-free (attention output independent of att).
+    assert float(jnp.abs(g["w_q"]).sum()) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_discriminator(setup):
+    *_, cfg = setup
+    n = 32
+    params = init_discriminator(jax.random.key(6), n, cfg)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(6, n)).astype(np.float32))
+    out = apply_discriminator(params, x, cfg, ParityConfig(), train=True, rng=jax.random.key(0))
+    assert out.shape == (6,)
+    assert bool(((out >= 0) & (out <= 100)).all())  # Q8 bounded output
+    # Q14: identity leak -> with slope 1.0 the pre-BN activation is linear.
+    out_eval = apply_discriminator(params, x, cfg, ParityConfig(), train=False)
+    assert out_eval.shape == (6,)
+
+
+def test_lattice_forward_and_state(setup):
+    _, _, _, joint, feats, cfg = setup
+    params = init_lattice(jax.random.key(8), N_USERS, N_ITEMS, FEAT_DIMS, cfg)
+    orig = build_original_adjs(feats, cfg.knn_topk)
+    adj0 = jnp.zeros((N_ITEMS, N_ITEMS))
+    out = apply_lattice(params, joint, feats, orig, adj0, cfg, ParityConfig(), build_item_graph=True)
+    assert out.user_emb.shape == (N_USERS, D)
+    assert out.item_adj.shape == (N_ITEMS, N_ITEMS)
+    assert float(jnp.abs(out.item_adj).sum()) > 0
+    # Reuse carried state without rebuild: same output embeddings.
+    out2 = apply_lattice(params, joint, feats, orig, out.item_adj, cfg, ParityConfig(), build_item_graph=False)
+    np.testing.assert_allclose(np.asarray(out.item_emb), np.asarray(out2.item_emb), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("sparse", [True, False])
+def test_micro_forward(setup, sparse):
+    _, _, _, joint, feats, cfg = setup
+    params = init_micro(jax.random.key(9), N_USERS, N_ITEMS, FEAT_DIMS, cfg)
+    if sparse:
+        orig = build_original_adjs_sparse(feats, cfg.knn_topk, cfg.norm_type)
+    else:
+        orig = build_original_adjs_dense(feats, cfg.knn_topk, cfg.norm_type)
+    out = apply_micro(
+        params, joint, feats, orig, orig, cfg, ParityConfig(), build_item_graph=True, sparse=sparse
+    )
+    assert out.user_emb.shape == (N_USERS, D)
+    assert out.fusion.shape == (N_ITEMS, D)
+    assert set(out.mm_item_embeds) == set(feats)
+    out2 = apply_micro(
+        params, joint, feats, orig, out.mod_adjs, cfg, ParityConfig(), build_item_graph=False, sparse=sparse
+    )
+    np.testing.assert_allclose(np.asarray(out.item_emb), np.asarray(out2.item_emb), rtol=1e-5, atol=1e-6)
+
+
+def test_micro_sparse_dense_agree(setup):
+    _, _, _, joint, feats, cfg = setup
+    params = init_micro(jax.random.key(10), N_USERS, N_ITEMS, FEAT_DIMS, cfg)
+    out_s = apply_micro(
+        params, joint, feats,
+        build_original_adjs_sparse(feats, cfg.knn_topk, cfg.norm_type),
+        {}, cfg, ParityConfig(), build_item_graph=True, sparse=True,
+    )
+    out_d = apply_micro(
+        params, joint, feats,
+        build_original_adjs_dense(feats, cfg.knn_topk, cfg.norm_type),
+        {}, cfg, ParityConfig(), build_item_graph=True, sparse=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.item_emb), np.asarray(out_d.item_emb), rtol=1e-4, atol=1e-5
+    )
