@@ -1,0 +1,286 @@
+"""MMSSL adversarial training step — one compiled program per batch.
+
+Reference flow (``MMSSL/main.py:333-434``, SURVEY.md §3.2) reproduced as a
+single jit:
+
+  1. no-grad generator forward (train mode, dropout live)
+  2. full-catalog similarity sweeps (CF + per-modality) with train-interaction
+     masking and row L2 norm (``u_sim_calculation``, main.py:283-298)
+  3. discriminator step: fake = modality sims, real = Gumbel-softened
+     interaction rows + scaled CF sim (main.py:349-352), WGAN loss with
+     second-order gradient penalty (main.py:140-161), Adam update
+  4. generator step against the *updated* discriminator: BPR + feat-reg +
+     user-level InfoNCE + adversarial term, AdamW update
+  5. adjacency densification: either accumulate per-user top-k of the modality
+     sims into fixed-capacity COO buffers, or (every T-th batch) rebuild the
+     per-modality graphs from the buffers on device and reset
+     (main.py:378-405; the reference round-trips GPU->python lists->scipy->GPU
+     here — we never leave HBM).  Quirk Q5 (T=1 makes rebuilds see empty
+     buffers from idx>=2) falls out of the same cadence logic.
+
+All shapes are static: graph/buffer capacity C = max(initial nnz padding,
+T * B * k) shared by the initial normalized graphs and every rebuild.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mmssl_tpu.config import ExperimentConfig
+from mmssl_tpu.losses.bpr import bpr_loss
+from mmssl_tpu.losses.contrastive import infonce
+from mmssl_tpu.losses.reg import feat_reg_loss
+from mmssl_tpu.models.common import l2_normalize
+from mmssl_tpu.models.mmssl import (
+    BipartiteGraphs,
+    apply_discriminator,
+    apply_mmssl,
+)
+from mmssl_tpu.ops.sparse import SparseGraph, device_row_norm_inv_sqrt
+
+
+class MMSSLConsts(NamedTuple):
+    """Per-run constants passed to every step (device-resident)."""
+
+    feats: Dict[str, jnp.ndarray]  # modality -> [n_items, feat_dim]
+    ui: SparseGraph  # normalized u-i graph
+    iu: SparseGraph
+    train_pad: jnp.ndarray  # int32 [n_users, max_deg], -1 pad
+
+
+class MMSSLTrainState(NamedTuple):
+    params: dict
+    d_params: dict
+    opt_state: optax.OptState
+    d_opt_state: optax.OptState
+    mod_ui: Dict[str, SparseGraph]  # densified graphs, capacity C
+    mod_iu: Dict[str, SparseGraph]
+    buf_rows: Dict[str, jnp.ndarray]  # int32 [C] accumulated user ids
+    buf_cols: Dict[str, jnp.ndarray]  # int32 [C] accumulated item ids
+    buf_count: Dict[str, jnp.ndarray]  # int32 scalar
+    rng: jax.Array
+    step: jnp.ndarray  # int32
+
+
+def densify_topk(cfg: ExperimentConfig, n_items: int) -> int:
+    """k = int(n_items * m_topk_rate) (main.py:400); may be 0 (then the
+    densified graphs are empty, exactly as the reference produces)."""
+    return int(n_items * cfg.train.m_topk_rate)
+
+
+def graph_capacity(cfg: ExperimentConfig, n_items: int, init_nnz: int) -> int:
+    k = densify_topk(cfg, n_items)
+    t = max(cfg.train.densify_period, 1)
+    cap = max(init_nnz, t * cfg.data.batch_size * k, 1)
+    return ((cap + 127) // 128) * 128
+
+
+def interaction_rows(train_pad: jnp.ndarray, users: jnp.ndarray, n_items: int) -> jnp.ndarray:
+    """Binary [B, n_items] rows of the raw interaction matrix for a user
+    batch (the reference materializes scipy rows to dense GPU tensors,
+    main.py:285/349; here it is a static-shape scatter)."""
+    B = users.shape[0]
+    rows = train_pad[users]  # [B, max_deg]
+    rows = jnp.where(rows < 0, n_items, rows)  # OOB pad -> dropped
+    out = jnp.zeros((B, n_items), dtype=jnp.float32)
+    return out.at[jnp.arange(B)[:, None], rows].set(1.0, mode="drop")
+
+
+def u_sim(
+    user_rows: jnp.ndarray,  # [B, d] gathered user embeddings
+    item_emb: jnp.ndarray,  # [n_items, d]
+    u_ui: jnp.ndarray,  # [B, n_items] binary interactions
+) -> jnp.ndarray:
+    """``u_sim_calculation``: full-catalog scores, known interactions zeroed,
+    rows L2-normalized (main.py:283-298).  One MXU matmul; the reference's
+    item-chunking is a GPU-memory workaround with identical numerics."""
+    sim = (user_rows @ item_emb.T) * (1.0 - u_ui)
+    return l2_normalize(sim, axis=1)
+
+
+def gumbel_soften_rows(
+    u_ui: jnp.ndarray, ui_sim: jnp.ndarray, rng: jax.Array, cfg: ExperimentConfig
+) -> jnp.ndarray:
+    """'Real' rows for the discriminator (main.py:349-352, quirk Q4):
+    softmax(u_ui + scale * gumbel / tau) + ui_sim * ui_pre_scale, L2 rows."""
+    t = cfg.train
+    u = jax.random.uniform(rng, u_ui.shape, dtype=jnp.float32)
+    gumbel = -jnp.log(-jnp.log(u + 1e-8) + 1e-8)
+    soft = jax.nn.softmax(u_ui + t.log_log_scale * gumbel / t.real_data_tau, axis=1)
+    soft = soft + ui_sim * t.ui_pre_scale
+    return l2_normalize(soft, axis=1)
+
+
+def gradient_penalty(
+    d_params: dict,
+    xr: jnp.ndarray,
+    xf: jnp.ndarray,
+    rng: jax.Array,
+    cfg: ExperimentConfig,
+) -> jnp.ndarray:
+    """WGAN-GP (main.py:140-161): grad of D at interpolates, per-row L2 norm
+    pulled to 1, LAMBDA=gp_lambda.  jax.grad-of-grad gives the second-order
+    term the reference gets from autograd.grad(create_graph=True)."""
+    r_alpha, r_drop = jax.random.split(rng)
+    alpha = jax.random.uniform(r_alpha, (xr.shape[0], 1), dtype=jnp.float32)
+    interp = alpha * xr + (1.0 - alpha) * xf
+
+    def d_sum(x):
+        return jnp.sum(
+            apply_discriminator(d_params, x, cfg.model, cfg.parity, train=True, rng=r_drop)
+        )
+
+    grads = jax.grad(d_sum)(interp)  # [MB, n_items]
+    # safe norm: zero-grad rows take the clamped branch (torch subgradient 0)
+    norms = jnp.sqrt(jnp.maximum(jnp.sum(grads**2, axis=1), 1e-24))
+    return jnp.mean((norms - 1.0) ** 2) * cfg.train.gp_lambda
+
+
+def _accumulate_or_rebuild(
+    state: MMSSLTrainState,
+    mod_sims: Dict[str, jnp.ndarray],  # [B, n_items] detached per modality
+    users: jnp.ndarray,
+    do_rebuild: jnp.ndarray,  # bool scalar
+    cfg: ExperimentConfig,
+    n_users: int,
+    n_items: int,
+) -> Tuple[Dict[str, SparseGraph], Dict[str, SparseGraph], Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    k = densify_topk(cfg, n_items)
+    modalities = sorted(mod_sims)
+    new_ui, new_iu, new_rows, new_cols, new_cnt = {}, {}, {}, {}, {}
+    for m in modalities:
+        rows, cols, cnt = state.buf_rows[m], state.buf_cols[m], state.buf_count[m]
+        cap = rows.shape[0]
+
+        def rebuild(rows=rows, cols=cols, cnt=cnt, m=m):
+            valid = jnp.arange(cap) < cnt
+            g_ui = device_row_norm_inv_sqrt(rows, cols, valid, (n_users, n_items))
+            g_iu = device_row_norm_inv_sqrt(cols, rows, valid, (n_items, n_users))
+            return g_ui, g_iu, rows, cols, jnp.zeros((), jnp.int32)
+
+        def accumulate(rows=rows, cols=cols, cnt=cnt, m=m):
+            if k > 0:
+                _, top_ids = jax.lax.top_k(mod_sims[m], k)  # [B, k]
+                add_rows = jnp.repeat(users.astype(jnp.int32), k)
+                add_cols = top_ids.reshape(-1).astype(jnp.int32)
+                nr = jax.lax.dynamic_update_slice(rows, add_rows, (cnt,))
+                nc = jax.lax.dynamic_update_slice(cols, add_cols, (cnt,))
+                ncnt = cnt + add_rows.shape[0]
+            else:
+                nr, nc, ncnt = rows, cols, cnt
+            return state.mod_ui[m], state.mod_iu[m], nr, nc, ncnt
+
+        g_ui, g_iu, nr, nc, ncnt = jax.lax.cond(do_rebuild, rebuild, accumulate)
+        new_ui[m], new_iu[m] = g_ui, g_iu
+        new_rows[m], new_cols[m], new_cnt[m] = nr, nc, ncnt
+    return new_ui, new_iu, new_rows, new_cols, new_cnt
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "g_opt", "d_opt", "n_users", "n_items"),
+    donate_argnums=(0,),
+)
+def mmssl_train_step(
+    state: MMSSLTrainState,
+    consts: MMSSLConsts,
+    users: jnp.ndarray,  # int32 [B]
+    pos: jnp.ndarray,
+    neg: jnp.ndarray,
+    do_rebuild: jnp.ndarray,  # bool scalar: idx % T == 0 and idx != 0
+    cfg: ExperimentConfig,
+    g_opt: optax.GradientTransformation,
+    d_opt: optax.GradientTransformation,
+    n_users: int,
+    n_items: int,
+) -> Tuple[MMSSLTrainState, Dict[str, jnp.ndarray]]:
+    t = cfg.train
+    modalities = sorted(consts.feats)
+    rng, r_fwd0, r_gum, r_df, r_dr, r_gp, r_gfwd, r_gd = jax.random.split(state.rng, 8)
+
+    graphs = BipartiteGraphs(ui=consts.ui, iu=consts.iu, mod_ui=state.mod_ui, mod_iu=state.mod_iu)
+    u_ui = interaction_rows(consts.train_pad, users, n_items)
+
+    # ---- discriminator step (generator frozen, main.py:339-361) ----
+    out0 = apply_mmssl(state.params, graphs, consts.feats, cfg.model, cfg.parity, train=True, rng=r_fwd0)
+    ui_sim = u_sim(out0.user_emb[users], out0.item_emb, u_ui)
+    fake_sims = [u_sim(out0.mm_user_feats[m][users], out0.mm_item_feats[m], u_ui) for m in modalities]
+    inputf = jnp.concatenate(fake_sims, axis=0)  # [M*B, n_items]
+    real = gumbel_soften_rows(u_ui, ui_sim, r_gum, cfg)
+    inputr = jnp.concatenate([real] * len(modalities), axis=0)
+
+    def d_loss_fn(d_params):
+        predf = apply_discriminator(d_params, inputf, cfg.model, cfg.parity, train=True, rng=r_df)
+        predr = apply_discriminator(d_params, inputr, cfg.model, cfg.parity, train=True, rng=r_dr)
+        lossf = jnp.mean(predf)
+        lossr = -jnp.mean(predr)
+        gp = gradient_penalty(d_params, inputr, inputf, r_gp, cfg)
+        return lossr + lossf + t.gp_rate * gp
+
+    loss_d, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+    d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state, state.d_params)
+    d_params = optax.apply_updates(state.d_params, d_updates)
+
+    # ---- generator step against updated D (main.py:363-429) ----
+    def g_loss_fn(params):
+        out = apply_mmssl(params, graphs, consts.feats, cfg.model, cfg.parity, train=True, rng=r_gfwd)
+        mf, emb, reg = bpr_loss(out.user_emb[users], out.item_emb[pos], out.item_emb[neg], t.decay)
+        mod_u_sims = {m: u_sim(out.mm_user_feats[m][users], out.mm_item_feats[m], u_ui) for m in modalities}
+        fr = feat_reg_loss(
+            [out.mm_item_feats[m] for m in modalities] + [out.mm_user_feats[m] for m in modalities],
+            n_items,
+            t.feat_reg_decay,
+        )
+        cl = jnp.zeros(())
+        for m in modalities:
+            cl = cl + infonce(out.mm_user_id[m][users], out.user_emb[users], t.cl_tau, eps=1e-8,
+                              row_chunk=max(users.shape[0], 1))
+        g_inputf = jnp.concatenate([mod_u_sims[m] for m in modalities], axis=0)
+        g_predf = apply_discriminator(d_params, g_inputf, cfg.model, cfg.parity, train=True, rng=r_gd)
+        g_lossf = -jnp.mean(g_predf)
+        total = mf + emb + reg + fr + t.cl_rate * cl + t.g_rate * g_lossf
+        aux = {
+            "mf_loss": mf, "emb_loss": emb, "feat_reg": fr, "cl_loss": cl, "g_lossf": g_lossf,
+            "mod_sims": {m: jax.lax.stop_gradient(v) for m, v in mod_u_sims.items()},
+        }
+        return total, aux
+
+    (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.params)
+    g_updates, opt_state = g_opt.update(g_grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, g_updates)
+
+    # ---- densification cadence (main.py:378-405) ----
+    new_ui, new_iu, new_rows, new_cols, new_cnt = _accumulate_or_rebuild(
+        state, aux["mod_sims"], users, do_rebuild, cfg, n_users, n_items
+    )
+
+    new_state = MMSSLTrainState(
+        params=params,
+        d_params=d_params,
+        opt_state=opt_state,
+        d_opt_state=d_opt_state,
+        mod_ui=new_ui,
+        mod_iu=new_iu,
+        buf_rows=new_rows,
+        buf_cols=new_cols,
+        buf_count=new_cnt,
+        rng=rng,
+        step=state.step + 1,
+    )
+    metrics = {
+        "loss": g_loss,
+        "loss_d": loss_d,
+        "mf_loss": aux["mf_loss"],
+        "emb_loss": aux["emb_loss"],
+        "feat_reg": aux["feat_reg"],
+        "cl_loss": aux["cl_loss"],
+        "g_lossf": aux["g_lossf"],
+    }
+    return new_state, metrics

@@ -1,0 +1,124 @@
+"""Single-optimizer train steps for LATTICE / MICRO / CF baselines.
+
+Reference loop: ``LATTICE/codes/main.py:62-162`` / ``MICRO/codes/main.py:
+66-166``: per batch, forward over the joint normalized adjacency with
+``build_item_graph`` true only on the first batch of each epoch, BPR loss
+(+ MICRO: InfoNCE(modality_item, fused) * loss_ratio over the full item set),
+single Adam step; LR decayed per epoch (handled by the optimizer schedule).
+
+``build_item_graph`` is a *static* argument: the build variant compiles the
+n_items^2 similarity + top-k into the step, the common variant reuses the
+carried adjacency state.  Two programs total per model, both device-only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mmssl_tpu.config import ExperimentConfig
+from mmssl_tpu.losses.bpr import bpr_loss
+from mmssl_tpu.losses.contrastive import infonce
+from mmssl_tpu.models.cf import CFOutput, apply_lightgcn, apply_mf, apply_ngcf
+from mmssl_tpu.models.lattice import apply_lattice
+from mmssl_tpu.models.micro import ModalityAdj, apply_micro
+from mmssl_tpu.ops.sparse import SparseGraph
+
+
+class SimpleTrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    # Carried item-graph state: LATTICE -> dense [n_items, n_items];
+    # MICRO -> dict of per-modality adjacencies; CF baselines -> unused ().
+    item_state: Union[jnp.ndarray, Dict[str, ModalityAdj], Tuple]
+    rng: jax.Array
+    step: jnp.ndarray
+
+
+class SimpleConsts(NamedTuple):
+    feats: Dict[str, jnp.ndarray]
+    joint: SparseGraph  # normalized joint adjacency D^-1 (A+I)
+    original_adjs: Dict[str, ModalityAdj]  # static modality graphs (LATTICE/MICRO)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "opt", "build_item_graph", "sparse"),
+    donate_argnums=(0,),
+)
+def simple_train_step(
+    state: SimpleTrainState,
+    consts: SimpleConsts,
+    users: jnp.ndarray,
+    pos: jnp.ndarray,
+    neg: jnp.ndarray,
+    cfg: ExperimentConfig,
+    opt: optax.GradientTransformation,
+    build_item_graph: bool,
+    sparse: bool = True,
+) -> Tuple[SimpleTrainState, Dict[str, jnp.ndarray]]:
+    t = cfg.train
+    name = cfg.model.name
+    rng, r_fwd = jax.random.split(state.rng)
+
+    def loss_fn(params):
+        new_item_state = state.item_state
+        cl = jnp.zeros(())
+        if name == "lattice":
+            out = apply_lattice(
+                params, consts.joint, consts.feats, consts.original_adjs,
+                state.item_state, cfg.model, cfg.parity, build_item_graph,
+                train=True, rng=r_fwd,
+            )
+            u_emb, i_emb = out.user_emb, out.item_emb
+            new_item_state = out.item_adj
+        elif name == "micro":
+            out = apply_micro(
+                params, consts.joint, consts.feats, consts.original_adjs,
+                state.item_state, cfg.model, cfg.parity, build_item_graph,
+                sparse=sparse, train=True, rng=r_fwd,
+            )
+            u_emb, i_emb = out.user_emb, out.item_emb
+            new_item_state = out.mod_adjs
+            # MICRO/codes/main.py:99-104: InfoNCE(modality_item, fused) per
+            # modality over ALL items, weighted by loss_ratio; eps=0 variant.
+            for m in sorted(consts.feats):
+                cl = cl + infonce(out.mm_item_embeds[m], out.fusion, t.cl_tau, eps=0.0)
+            cl = cl * t.loss_ratio
+        elif name == "lightgcn":
+            res = apply_lightgcn(params, consts.joint, cfg.model)
+            u_emb, i_emb = res.user_emb, res.item_emb
+        elif name == "ngcf":
+            res = apply_ngcf(params, consts.joint, cfg.model, train=True, rng=r_fwd)
+            u_emb, i_emb = res.user_emb, res.item_emb
+        elif name == "mf":
+            res = apply_mf(params)
+            u_emb, i_emb = res.user_emb, res.item_emb
+        else:
+            raise ValueError(name)
+        mf, emb, reg = bpr_loss(u_emb[users], i_emb[pos], i_emb[neg], t.decay)
+        total = mf + emb + reg + cl
+        aux = {"mf_loss": mf, "emb_loss": emb, "cl_loss": cl, "item_state": new_item_state}
+        return total, aux
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = SimpleTrainState(
+        params=params,
+        opt_state=opt_state,
+        item_state=jax.lax.stop_gradient(aux["item_state"]),
+        rng=rng,
+        step=state.step + 1,
+    )
+    metrics = {
+        "loss": loss,
+        "mf_loss": aux["mf_loss"],
+        "emb_loss": aux["emb_loss"],
+        "cl_loss": aux["cl_loss"],
+    }
+    return new_state, metrics

@@ -1,0 +1,306 @@
+"""Host-side training orchestration for the full model zoo.
+
+Replaces the reference Trainers (``MMSSL/main.py:37-496``,
+``LATTICE/codes/main.py:24-162``, ``MICRO/codes/main.py:24-166``) with one
+engine: device-resident jit steps (see steps_mmssl / steps_simple), an
+on-device evaluator, early stopping on validation recall@Ks[1] with
+test-on-improvement (main.py:483-493), NaN abort (main.py:440-442), and
+structured per-epoch logging.  Checkpoint/resume lives in
+``mmssl_tpu.train.checkpoint`` (net-new: the reference has none, SURVEY.md
+§5.4).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mmssl_tpu.config import ExperimentConfig
+from mmssl_tpu.data.dataset import RecDataset, load_dataset
+from mmssl_tpu.data.sampler import NegativeSampler
+from mmssl_tpu.eval.evaluator import Evaluator
+from mmssl_tpu.models import (
+    apply_lattice,
+    apply_lightgcn,
+    apply_mf,
+    apply_micro,
+    apply_mmssl,
+    apply_ngcf,
+    init_discriminator,
+    init_lattice,
+    init_lightgcn,
+    init_mf,
+    init_micro,
+    init_mmssl,
+    init_ngcf,
+)
+from mmssl_tpu.models.lattice import build_original_adjs
+from mmssl_tpu.models.micro import build_original_adjs_dense, build_original_adjs_sparse
+from mmssl_tpu.models.mmssl import BipartiteGraphs
+from mmssl_tpu.ops.sparse import SparseGraph, csr_norm, joint_adj
+from mmssl_tpu.train.optim import (
+    make_discriminator_optimizer,
+    make_generator_optimizer,
+    make_simple_optimizer,
+)
+from mmssl_tpu.train.steps_mmssl import (
+    MMSSLConsts,
+    MMSSLTrainState,
+    graph_capacity,
+    mmssl_train_step,
+)
+from mmssl_tpu.train.steps_simple import SimpleConsts, SimpleTrainState, simple_train_step
+from mmssl_tpu.utils.logging import MetricLogger
+
+
+@dataclass
+class FitResult:
+    best_val_recall: float
+    best_epoch: int
+    test_metrics: Dict[str, np.ndarray] = field(default_factory=dict)
+    history: list = field(default_factory=list)
+    epochs_run: int = 0
+    stopped_early: bool = False
+    train_time_s: float = 0.0
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, dataset: Optional[RecDataset] = None, logger: Optional[MetricLogger] = None):
+        self.cfg = cfg
+        self.ds = dataset if dataset is not None else load_dataset(cfg.data)
+        self.logger = logger or MetricLogger(name=f"{cfg.model.name}-{cfg.data.dataset}")
+        self.sampler = NegativeSampler(self.ds, cfg.data.batch_size, seed=cfg.train.seed)
+        self.evaluator = Evaluator(self.ds, cfg.eval)
+        self.n_batch = self.ds.n_train // cfg.data.batch_size + 1
+        self.feats = {m: jnp.asarray(f) for m, f in self.ds.feats.items()}
+        self.feat_dims = {m: int(f.shape[1]) for m, f in self.ds.feats.items()}
+        self._rng = jax.random.key(cfg.train.seed)
+        self._build()
+
+    # ------------------------------------------------------------------
+    def _split_rng(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _build(self) -> None:
+        cfg, ds = self.cfg, self.ds
+        name = cfg.model.name
+        self.is_mmssl = name == "mmssl"
+        if self.is_mmssl:
+            self._build_mmssl()
+        else:
+            self._build_simple()
+
+    def _build_mmssl(self) -> None:
+        cfg, ds = self.cfg, self.ds
+        ui_norm = csr_norm(ds.R, mean_flag=True)  # MMSSL/main.py:66-67
+        iu_norm = csr_norm(ds.R.T, mean_flag=True)
+        cap = graph_capacity(cfg, ds.n_items, ui_norm.nnz)
+        train_pad, _ = ds.padded_split("train")
+        self.consts = MMSSLConsts(
+            feats=self.feats,
+            ui=SparseGraph.from_scipy(ui_norm, capacity=cap),
+            iu=SparseGraph.from_scipy(iu_norm, capacity=cap),
+            train_pad=jnp.asarray(train_pad),
+        )
+        params = init_mmssl(self._split_rng(), ds.n_users, ds.n_items, self.feat_dims, cfg.model)
+        d_params = init_discriminator(self._split_rng(), ds.n_items, cfg.model)
+        self.g_opt = make_generator_optimizer(
+            cfg.train.lr,
+            constant_lr=cfg.parity.mmssl_constant_lr,
+            steps_per_epoch=self.n_batch,
+            decay_base=cfg.train.lr_decay_base,
+            decay_interval=cfg.train.lr_decay_interval,
+        )
+        self.d_opt = make_discriminator_optimizer(cfg.train.d_lr, cfg.train.d_betas)
+        modalities = sorted(self.feats)
+
+        def copy_graph(g: SparseGraph) -> SparseGraph:
+            # Distinct buffers per modality: the train step donates the state,
+            # and XLA rejects donating one buffer via two arguments.
+            return SparseGraph(
+                rows=jnp.array(g.rows, copy=True),
+                cols=jnp.array(g.cols, copy=True),
+                vals=jnp.array(g.vals, copy=True),
+                shape=g.shape,
+            )
+
+        # Densified graphs start as the normalized interaction graphs
+        # (MMSSL/main.py:68-69), buffers empty.
+        self.state = MMSSLTrainState(
+            params=params,
+            d_params=d_params,
+            opt_state=self.g_opt.init(params),
+            d_opt_state=self.d_opt.init(d_params),
+            mod_ui={m: copy_graph(self.consts.ui) for m in modalities},
+            mod_iu={m: copy_graph(self.consts.iu) for m in modalities},
+            buf_rows={m: jnp.zeros((cap,), jnp.int32) for m in modalities},
+            buf_cols={m: jnp.zeros((cap,), jnp.int32) for m in modalities},
+            buf_count={m: jnp.zeros((), jnp.int32) for m in modalities},
+            rng=self._split_rng(),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _build_simple(self) -> None:
+        cfg, ds = self.cfg, self.ds
+        name = cfg.model.name
+        _, norm_adj, _ = joint_adj(ds.R, ds.n_users, ds.n_items)
+        joint = SparseGraph.from_scipy(norm_adj)
+        self.sparse_mode = True
+        original_adjs: Dict[str, Any] = {}
+        item_state: Any = ()
+        key = self._split_rng()
+        if name == "lattice":
+            params = init_lattice(key, ds.n_users, ds.n_items, self.feat_dims, cfg.model)
+            original_adjs = build_original_adjs(self.feats, cfg.model.knn_topk)
+            item_state = jnp.zeros((ds.n_items, ds.n_items), jnp.float32)
+        elif name == "micro":
+            params = init_micro(key, ds.n_users, ds.n_items, self.feat_dims, cfg.model)
+            original_adjs = build_original_adjs_sparse(self.feats, cfg.model.knn_topk, cfg.model.norm_type)
+            item_state = {}  # filled by first build step
+        elif name == "lightgcn":
+            params = init_lightgcn(key, ds.n_users, ds.n_items, cfg.model)
+        elif name == "ngcf":
+            params = init_ngcf(key, ds.n_users, ds.n_items, cfg.model)
+        elif name == "mf":
+            params = init_mf(key, ds.n_users, ds.n_items, cfg.model)
+        else:
+            raise ValueError(f"unknown model {name}")
+        self.consts = SimpleConsts(feats=self.feats, joint=joint, original_adjs=original_adjs)
+        self.opt = make_simple_optimizer(
+            cfg.train.lr, self.n_batch, cfg.train.lr_decay_base, cfg.train.lr_decay_interval
+        )
+        self.state = SimpleTrainState(
+            params=params,
+            opt_state=self.opt.init(params),
+            item_state=item_state,
+            rng=self._split_rng(),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def train_batch(self, idx: int) -> Dict[str, float]:
+        """One optimization step; idx is the within-epoch batch index."""
+        users, pos, neg = self.sampler.sample()
+        users, pos, neg = jnp.asarray(users), jnp.asarray(pos), jnp.asarray(neg)
+        if self.is_mmssl:
+            t = max(self.cfg.train.densify_period, 1)
+            do_rebuild = jnp.asarray(idx % t == 0 and idx != 0)
+            self.state, metrics = mmssl_train_step(
+                self.state, self.consts, users, pos, neg, do_rebuild,
+                self.cfg, self.g_opt, self.d_opt, self.ds.n_users, self.ds.n_items,
+            )
+        else:
+            # LATTICE/MICRO rebuild the learned item graph only on the first
+            # batch of each epoch (LATTICE/codes/main.py:77,84-85).
+            build = idx == 0 and self.cfg.model.name in ("lattice", "micro")
+            self.state, metrics = simple_train_step(
+                self.state, self.consts, users, pos, neg, self.cfg, self.opt,
+                build_item_graph=build, sparse=True,
+            )
+        return metrics
+
+    def eval_embeddings(self):
+        """Eval-mode forward producing (user_emb, item_emb) on device."""
+        cfg = self.cfg
+        name = cfg.model.name
+        if self.is_mmssl:
+            graphs = BipartiteGraphs(
+                ui=self.consts.ui, iu=self.consts.iu,
+                mod_ui=self.state.mod_ui, mod_iu=self.state.mod_iu,
+            )
+            out = apply_mmssl(self.state.params, graphs, self.consts.feats, cfg.model, cfg.parity, train=False)
+            return out.user_emb, out.item_emb
+        if name == "lattice":
+            # Reference test() rebuilds the item graph (build_item_graph=True).
+            out = apply_lattice(
+                self.state.params, self.consts.joint, self.consts.feats,
+                self.consts.original_adjs, self.state.item_state,
+                cfg.model, cfg.parity, build_item_graph=True, train=False,
+            )
+            return out.user_emb, out.item_emb
+        if name == "micro":
+            out = apply_micro(
+                self.state.params, self.consts.joint, self.consts.feats,
+                self.consts.original_adjs, self.state.item_state,
+                cfg.model, cfg.parity, build_item_graph=True, sparse=True, train=False,
+            )
+            return out.user_emb, out.item_emb
+        if name == "lightgcn":
+            res = apply_lightgcn(self.state.params, self.consts.joint, cfg.model)
+        elif name == "ngcf":
+            res = apply_ngcf(self.state.params, self.consts.joint, cfg.model, train=False)
+        else:
+            res = apply_mf(self.state.params)
+        return res.user_emb, res.item_emb
+
+    def evaluate(self, which: str = "val") -> Dict[str, np.ndarray]:
+        u_emb, i_emb = self.eval_embeddings()
+        return self.evaluator.evaluate(u_emb, i_emb, which)
+
+    # ------------------------------------------------------------------
+    def fit(self, epochs: Optional[int] = None) -> FitResult:
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.train.epochs
+        result = FitResult(best_val_recall=0.0, best_epoch=-1)
+        stopping_step = 0
+        k_idx = min(1, len(cfg.eval.ks) - 1)  # model selection on Ks[1]
+        t_start = time.time()
+
+        for epoch in range(epochs):
+            t0 = time.time()
+            sums: Dict[str, float] = {}
+            for idx in range(self.n_batch):
+                metrics = self.train_batch(idx)
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            train_t = time.time() - t0
+            if math.isnan(sums.get("loss", 0.0)):
+                # Reference: NaN abort (main.py:440-442); we stop with state
+                # intact instead of sys.exit.
+                self.logger.log(epoch=epoch, event="nan_abort")
+                break
+
+            if (epoch + 1) % cfg.train.eval_every == 0:
+                val = self.evaluate("val")
+                eval_t = time.time() - t0 - train_t
+                row = {
+                    "epoch": epoch,
+                    "train_time_s": round(train_t, 2),
+                    "eval_time_s": round(eval_t, 2),
+                    **{k: round(v, 5) for k, v in sums.items()},
+                    "val_recall": [round(float(x), 5) for x in val["recall"]],
+                    "val_ndcg": [round(float(x), 5) for x in val["ndcg"]],
+                }
+                result.history.append(row)
+                self.logger.log(**row)
+                rec = float(val["recall"][k_idx])
+                if rec > result.best_val_recall:
+                    result.best_val_recall = rec
+                    result.best_epoch = epoch
+                    result.test_metrics = self.evaluate("test")
+                    self.logger.log(
+                        epoch=epoch,
+                        event="improved",
+                        test_recall=[round(float(x), 5) for x in result.test_metrics["recall"]],
+                        test_ndcg=[round(float(x), 5) for x in result.test_metrics["ndcg"]],
+                    )
+                    stopping_step = 0
+                elif stopping_step < cfg.train.early_stopping_patience:
+                    stopping_step += 1
+                else:
+                    result.stopped_early = True
+                    self.logger.log(epoch=epoch, event="early_stop")
+                    result.epochs_run = epoch + 1
+                    break
+            result.epochs_run = epoch + 1
+        result.train_time_s = time.time() - t_start
+        return result
