@@ -1,0 +1,111 @@
+"""Benchmark: MMSSL train-step throughput at Amazon-Baby scale.
+
+Runs the full adversarial train step (D step with WGAN-GP + G step with BPR /
+InfoNCE / feat-reg / adversarial terms + densification) on a synthetic
+dataset with Amazon-Baby dimensions (19,445 users x 7,050 items, visual
+4096-d + text 1024-d, batch 1024 — README.md:40-47 of the reference) on the
+real TPU chip, and prints ONE JSON line:
+
+  {"metric": "train_examples_per_sec", "value": N, "unit": "examples/s",
+   "vs_baseline": N / 2048}
+
+vs_baseline: the reference publishes no timing/throughput numbers anywhere
+(SURVEY.md §6), so the baseline is a documented estimate of the reference
+PyTorch implementation on a single V100-class GPU at Baby scale: ~0.5 s per
+1024-example batch (two full forwards + two backwards + three full-catalog
+sim sweeps + second-order GP per batch) -> 2048 examples/s.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+# Persistent compilation cache: the axon remote-compile path is slow on first
+# compile; later runs (and the driver's run) hit this cache.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_EXAMPLES_PER_SEC = 2048.0
+
+N_USERS, N_ITEMS = 19_445, 7_050
+BATCH = 1024
+FEAT_DIMS = {"image": 4096, "text": 1024}
+WARMUP_STEPS = 2
+TIMED_STEPS = 10
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def get_dataset():
+    from mmssl_tpu.config import DataConfig
+    from mmssl_tpu.data import load_dataset, write_synthetic_dataset
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
+    marker = os.path.join(root, "baby_scale", "train.json")
+    if not os.path.exists(marker):
+        log("bench: generating Amazon-Baby-scale synthetic dataset (one-time)...")
+        t0 = time.time()
+        write_synthetic_dataset(
+            root, "baby_scale",
+            n_users=N_USERS, n_items=N_ITEMS, n_clusters=32,
+            interactions_per_user=(3, 12),
+            modality_dims=FEAT_DIMS, seed=0,
+        )
+        log(f"bench: dataset generated in {time.time() - t0:.0f}s")
+    cfg = DataConfig(data_path=root, dataset="baby_scale", batch_size=BATCH)
+    return load_dataset(cfg)
+
+
+def main() -> None:
+    from mmssl_tpu.config import preset
+    from mmssl_tpu.train.trainer import Trainer
+    from mmssl_tpu.utils.logging import MetricLogger
+
+    log(f"bench: devices = {jax.devices()}")
+    ds = get_dataset()
+    log(f"bench: {ds.stats_str()}")
+    cfg = preset("baby_scale", "mmssl", **{
+        "data.data_path": os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data"),
+        "data.batch_size": BATCH,
+    })
+    tr = Trainer(cfg, dataset=ds, logger=MetricLogger(quiet=True))
+
+    # Sync by FETCHING a scalar each step: on the axon relay backend,
+    # jax.block_until_ready is a no-op and letting unsynced donated-state
+    # steps queue up degrades catastrophically (measured 360 s for 10 queued
+    # steps vs 110 ms/step when synced).  A scalar fetch per step is also
+    # exactly what the Trainer's epoch loop does.
+    t0 = time.time()
+    for i in range(WARMUP_STEPS):
+        loss = float(tr.train_batch(i)["loss"])
+    log(f"bench: warmup ({WARMUP_STEPS} steps incl. compile) {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    for i in range(WARMUP_STEPS, WARMUP_STEPS + TIMED_STEPS):
+        m = tr.train_batch(i)
+        loss = float(m["loss"])
+    dt = time.time() - t0
+    step_time = dt / TIMED_STEPS
+    throughput = BATCH / step_time
+    log(f"bench: {TIMED_STEPS} steps in {dt:.2f}s -> {step_time*1000:.1f} ms/step, loss={loss:.4f}")
+
+    print(json.dumps({
+        "metric": "train_examples_per_sec",
+        "value": round(throughput, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(throughput / BASELINE_EXAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from mmssl_tpu.cli.main import main
+
+raise SystemExit(main())

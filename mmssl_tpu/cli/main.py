@@ -1,0 +1,153 @@
+"""Command-line entrypoint.
+
+Replaces the reference's ``python main.py --dataset X`` (MMSSL/main.py:
+528-536) with subcommands over the typed config:
+
+  python -m mmssl_tpu.cli train --dataset baby --model mmssl --data-path D
+  python -m mmssl_tpu.cli eval  --dataset baby --model mmssl --data-path D --checkpoint-dir C
+  python -m mmssl_tpu.cli synth --out D --name demo --users 500 --items 200
+
+Arbitrary config overrides ride ``--set key=value`` (dotted keys, python
+literals), e.g. ``--set train.lr=1e-3 --set model.n_ui_layers=3`` — without
+the reference's ``eval()``-on-argparse-strings pattern (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import sys
+from typing import Any, Dict
+
+from mmssl_tpu.config import ExperimentConfig, flatten, preset
+
+
+def _parse_overrides(pairs) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for pair in pairs or []:
+        key, _, raw = pair.partition("=")
+        if not _:
+            raise SystemExit(f"--set expects key=value, got {pair!r}")
+        try:
+            out[key] = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            out[key] = raw  # plain string
+    return out
+
+
+def _build_cfg(args) -> ExperimentConfig:
+    overrides = _parse_overrides(args.set)
+    overrides.setdefault("data.data_path", args.data_path)
+    if getattr(args, "epochs", None) is not None:
+        overrides["train.epochs"] = args.epochs
+    if getattr(args, "checkpoint_dir", None):
+        overrides["train.checkpoint_dir"] = args.checkpoint_dir
+    return preset(args.dataset, args.model, **overrides)
+
+
+def cmd_train(args) -> int:
+    from mmssl_tpu.train.trainer import Trainer
+    from mmssl_tpu.utils.logging import MetricLogger
+
+    cfg = _build_cfg(args)
+    logger = MetricLogger(name=f"{cfg.model.name}-{cfg.data.dataset}", path=args.log_file)
+    logger.log(event="config", **{k: v for k, v in flatten(cfg).items()})
+    trainer = Trainer(cfg, logger=logger)
+    if args.resume and trainer.ckpt is not None and trainer.ckpt.latest_step() is not None:
+        extra = trainer.resume()
+        logger.log(event="resumed", **extra)
+    result = trainer.fit()
+    summary = {
+        "best_val_recall": result.best_val_recall,
+        "best_epoch": result.best_epoch,
+        "epochs_run": result.epochs_run,
+        "train_time_s": round(result.train_time_s, 1),
+        "test": {k: [float(x) for x in v] if hasattr(v, "__len__") else float(v)
+                 for k, v in result.test_metrics.items()},
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from mmssl_tpu.train.trainer import Trainer
+    from mmssl_tpu.utils.logging import MetricLogger
+
+    cfg = _build_cfg(args)
+    trainer = Trainer(cfg, logger=MetricLogger(quiet=True))
+    if args.checkpoint_dir:
+        trainer.resume()
+    res = trainer.evaluate(args.split)
+    print(json.dumps({k: [float(x) for x in v] if hasattr(v, "__len__") else float(v)
+                      for k, v in res.items()}))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from mmssl_tpu.data.synthetic import write_synthetic_dataset
+
+    path = write_synthetic_dataset(
+        args.out, args.name, n_users=args.users, n_items=args.items, seed=args.seed
+    )
+    print(json.dumps({"path": path}))
+    return 0
+
+
+def _configure_jax(platform: str) -> None:
+    import os
+
+    import jax
+
+    # Persistent compilation cache: remote TPU compiles through the axon
+    # relay are slow (minutes for the big train steps); cache them.
+    cache = os.environ.get("MMSSL_TPU_JAX_CACHE", os.path.expanduser("~/.cache/mmssl_tpu_jax"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if platform != "default":
+        # Must win over the container sitecustomize pinning the TPU plugin.
+        jax.config.update("jax_platforms", platform)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="mmssl_tpu")
+    p.add_argument(
+        "--platform", default="default", choices=["default", "cpu", "tpu"],
+        help="force a jax platform (default: whatever the environment provides)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--dataset", required=True)
+        sp.add_argument("--model", default="mmssl", choices=["mmssl", "lattice", "micro", "lightgcn", "ngcf", "mf"])
+        sp.add_argument("--data-path", required=True)
+        sp.add_argument("--checkpoint-dir", default="")
+        sp.add_argument("--set", action="append", metavar="KEY=VALUE")
+
+    sp = sub.add_parser("train", help="train a model")
+    common(sp)
+    sp.add_argument("--epochs", type=int, default=None)
+    sp.add_argument("--resume", action="store_true")
+    sp.add_argument("--log-file", default=None)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("eval", help="evaluate (latest checkpoint or fresh init)")
+    common(sp)
+    sp.add_argument("--split", default="test", choices=["val", "test"])
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("synth", help="generate a synthetic dataset")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--name", default="synthetic")
+    sp.add_argument("--users", type=int, default=500)
+    sp.add_argument("--items", type=int, default=200)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    _configure_jax(args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

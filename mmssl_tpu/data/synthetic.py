@@ -60,6 +60,12 @@ def write_synthetic_dataset(
             val[str(u)] = [items.pop()]
         train[str(u)] = items
 
+    # Pin the id range: the loader counts n_items as max id + 1, so make sure
+    # the last item id appears somewhere in train.
+    seen = {i for items in train.values() for i in items}
+    if (n_items - 1) not in seen:
+        train[str(0)] = train.get(str(0), []) + [n_items - 1]
+
     for fname, split in (("train.json", train), ("val.json", val), ("test.json", test)):
         with open(os.path.join(out, fname), "w") as f:
             json.dump(split, f)

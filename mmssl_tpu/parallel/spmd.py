@@ -1,0 +1,133 @@
+"""SPMD-sharded train/eval programs.
+
+The single-device step functions (train/steps_*.py) are pure; this module
+assigns NamedShardings to their inputs/outputs and jits them over a mesh,
+letting the XLA SPMD partitioner insert the collectives (psum for DP grads
+and BatchNorm stats, all-gathers for embedding-row exchange around gathers,
+reduce-scatters where profitable) — the "annotate shardings, let XLA place
+collectives" recipe.
+
+Sharding policy (mesh axes from parallel.mesh):
+  - embedding tables / modality features / D layer-1+2 weights: row-sharded
+    over "model" (these are the only multi-hundred-MB tensors at Sports
+    scale: visual feats 280 MB, D l1 337 MB)
+  - optimizer moments: follow their parameters
+  - batch index arrays: sharded over "data"
+  - SparseGraph COO buffers and small weights: replicated
+  - [B, n_items] score/sim matrices (created inside the step): the
+    partitioner propagates (data, model) from the operands
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mmssl_tpu.config import ExperimentConfig
+from mmssl_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from mmssl_tpu.train.steps_mmssl import (
+    MMSSLConsts,
+    MMSSLTrainState,
+    mmssl_train_step_impl,
+)
+
+
+def _sharding_for_leaf(mesh: Mesh, path: Tuple, leaf: Any) -> NamedSharding:
+    """Row-shard 2D tensors whose leading dim is a catalog axis; replicate
+    the rest.  Path-based policy keyed on parameter names."""
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    joined = "/".join(str(n) for n in names)
+    ndim = getattr(leaf, "ndim", 0)
+    model_size = mesh.shape[MODEL_AXIS]
+
+    def rows_divisible() -> bool:
+        return ndim >= 2 and leaf.shape[0] % model_size == 0
+
+    row_sharded_markers = ("user_emb", "item_emb", "feats", "train_pad")
+    if any(m in joined for m in row_sharded_markers) and rows_divisible():
+        return NamedSharding(mesh, P(MODEL_AXIS, *([None] * (ndim - 1))))
+    # Discriminator tower: l1 [n_items, n/4] and l2 [n/4, n/8] row-sharded
+    # (the row dim is the contraction dim of their matmuls, so the local
+    # partial products reduce with one psum each).  Non-divisible dims fall
+    # back to replication (tables are padded to mesh multiples by the
+    # trainer when sharding is enabled).
+    if ("l1/w" in joined or "l2/w" in joined) and rows_divisible():
+        return NamedSharding(mesh, P(MODEL_AXIS, None))
+    return NamedSharding(mesh, P())
+
+
+def tree_shardings(mesh: Mesh, tree: Any) -> Any:
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _sharding_for_leaf(mesh, path, leaf), tree
+    )
+
+
+def shard_tree(mesh: Mesh, tree: Any) -> Any:
+    """device_put a pytree according to the sharding policy."""
+    return jax.device_put(tree, tree_shardings(mesh, tree))
+
+
+def make_sharded_mmssl_step(
+    mesh: Mesh,
+    cfg: ExperimentConfig,
+    g_opt: optax.GradientTransformation,
+    d_opt: optax.GradientTransformation,
+    n_users: int,
+    n_items: int,
+    state: MMSSLTrainState,
+    consts: MMSSLConsts,
+):
+    """Returns (step_fn, sharded_state, sharded_consts).
+
+    step_fn(state, consts, users, pos, neg, do_rebuild) -> (state, metrics),
+    compiled once over the mesh with stable state shardings (outputs pinned
+    to inputs so the training loop never reshards).
+    """
+    state_sh = tree_shardings(mesh, state)
+    consts_sh = tree_shardings(mesh, consts)
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    scalar_sh = NamedSharding(mesh, P())
+    metrics_sh = {
+        k: scalar_sh
+        for k in ("loss", "loss_d", "mf_loss", "emb_loss", "feat_reg", "cl_loss", "g_lossf")
+    }
+
+    step = jax.jit(
+        partial(
+            mmssl_train_step_impl,
+            cfg=cfg,
+            g_opt=g_opt,
+            d_opt=d_opt,
+            n_users=n_users,
+            n_items=n_items,
+        ),
+        in_shardings=(state_sh, consts_sh, batch_sh, batch_sh, batch_sh, scalar_sh),
+        out_shardings=(state_sh, metrics_sh),
+        donate_argnums=(0,),
+    )
+    return step, jax.device_put(state, state_sh), jax.device_put(consts, consts_sh)
+
+
+def sharded_eval_scores(mesh: Mesh):
+    """Factory for a catalog-sharded scoring + top-k program.
+
+    u_emb replicated rows (gathered per batch), i_emb row-sharded over
+    "model"; the [B, n_items] score matrix is sharded (data, model) and
+    lax.top_k runs after the partitioner's gather of the item axis.
+    """
+
+    @partial(jax.jit, static_argnames=("k",))
+    def score_topk(u_rows: jnp.ndarray, i_emb: jnp.ndarray, mask_add: jnp.ndarray, k: int):
+        scores = u_rows @ i_emb.T + mask_add
+        scores = jax.lax.with_sharding_constraint(
+            scores, NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+        )
+        return jax.lax.top_k(scores, k)
+
+    return score_topk

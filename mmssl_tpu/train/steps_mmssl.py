@@ -183,12 +183,7 @@ def _accumulate_or_rebuild(
     return new_ui, new_iu, new_rows, new_cols, new_cnt
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "g_opt", "d_opt", "n_users", "n_items"),
-    donate_argnums=(0,),
-)
-def mmssl_train_step(
+def mmssl_train_step_impl(
     state: MMSSLTrainState,
     consts: MMSSLConsts,
     users: jnp.ndarray,  # int32 [B]
@@ -284,3 +279,10 @@ def mmssl_train_step(
         "g_lossf": aux["g_lossf"],
     }
     return new_state, metrics
+
+
+mmssl_train_step = partial(
+    jax.jit,
+    static_argnames=("cfg", "g_opt", "d_opt", "n_users", "n_items"),
+    donate_argnums=(0,),
+)(mmssl_train_step_impl)

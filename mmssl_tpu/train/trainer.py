@@ -84,6 +84,22 @@ class Trainer:
         self.feat_dims = {m: int(f.shape[1]) for m, f in self.ds.feats.items()}
         self._rng = jax.random.key(cfg.train.seed)
         self._build()
+        self.ckpt = None
+        if cfg.train.checkpoint_dir:
+            from mmssl_tpu.train.checkpoint import CheckpointManager
+
+            self.ckpt = CheckpointManager(cfg.train.checkpoint_dir)
+
+    def save_checkpoint(self, step: int, extra: Optional[Dict[str, Any]] = None) -> None:
+        if self.ckpt is not None:
+            self.ckpt.save(step, self.state, extra)
+
+    def resume(self, step: Optional[int] = None) -> Dict[str, Any]:
+        """Restore the latest (or given) checkpoint into this trainer.
+        Returns the extra metadata dict saved alongside."""
+        assert self.ckpt is not None, "no checkpoint_dir configured"
+        self.state, extra = self.ckpt.restore(self.state, step)
+        return extra
 
     # ------------------------------------------------------------------
     def _split_rng(self) -> jax.Array:
@@ -163,9 +179,17 @@ class Trainer:
             original_adjs = build_original_adjs(self.feats, cfg.model.knn_topk)
             item_state = jnp.zeros((ds.n_items, ds.n_items), jnp.float32)
         elif name == "micro":
+            from mmssl_tpu.models.micro import _mix_sparse
+
             params = init_micro(key, ds.n_users, ds.n_items, self.feat_dims, cfg.model)
             original_adjs = build_original_adjs_sparse(self.feats, cfg.model.knn_topk, cfg.model.norm_type)
-            item_state = {}  # filled by first build step
+            # Initial carried state with the same pytree structure (and
+            # capacity 2*n*k) as every post-rebuild state, so checkpoints
+            # restore into a fresh trainer and jit traces once; numerically
+            # equal to the original graphs (lam*g + (1-lam)*g == g).
+            item_state = {
+                m: _mix_sparse(g, g, cfg.model.lambda_coeff) for m, g in original_adjs.items()
+            }
         elif name == "lightgcn":
             params = init_lightgcn(key, ds.n_users, ds.n_items, cfg.model)
         elif name == "ngcf":
@@ -301,6 +325,8 @@ class Trainer:
                     self.logger.log(epoch=epoch, event="early_stop")
                     result.epochs_run = epoch + 1
                     break
+            if self.ckpt is not None and cfg.train.checkpoint_every > 0 and (epoch + 1) % cfg.train.checkpoint_every == 0:
+                self.save_checkpoint(epoch, {"epoch": epoch, "best_val_recall": result.best_val_recall})
             result.epochs_run = epoch + 1
         result.train_time_s = time.time() - t_start
         return result
