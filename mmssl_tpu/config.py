@@ -132,6 +132,10 @@ class TrainConfig:
     seed: int = 2022  # parser.py:51
     # Eval cadence in epochs (reference evaluates every epoch).
     eval_every: int = 1
+    # Host-sync cadence in batches: fetch one scalar every N steps to bound
+    # the device dispatch queue (the axon relay degrades badly past ~8
+    # queued donated-state steps) while amortizing the ~29 ms roundtrip.
+    sync_every: int = 4
     checkpoint_dir: str = ""
     checkpoint_every: int = 0  # epochs; 0 = disabled
     log_every_steps: int = 0  # 0 = per-epoch only

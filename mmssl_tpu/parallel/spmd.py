@@ -93,10 +93,7 @@ def make_sharded_mmssl_step(
     consts_sh = tree_shardings(mesh, consts)
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
     scalar_sh = NamedSharding(mesh, P())
-    metrics_sh = {
-        k: scalar_sh
-        for k in ("loss", "loss_d", "mf_loss", "emb_loss", "feat_reg", "cl_loss", "g_lossf")
-    }
+    metrics_sh = scalar_sh  # packed [len(MMSSL_METRIC_KEYS)] vector, replicated
 
     step = jax.jit(
         partial(

@@ -46,6 +46,9 @@ from mmssl_tpu.models.mmssl import (
 from mmssl_tpu.ops.sparse import SparseGraph, device_row_norm_inv_sqrt
 
 
+MMSSL_METRIC_KEYS = ("loss", "loss_d", "mf_loss", "emb_loss", "feat_reg", "cl_loss", "g_lossf")
+
+
 class MMSSLConsts(NamedTuple):
     """Per-run constants passed to every step (device-resident)."""
 
@@ -269,15 +272,13 @@ def mmssl_train_step_impl(
         rng=rng,
         step=state.step + 1,
     )
-    metrics = {
-        "loss": g_loss,
-        "loss_d": loss_d,
-        "mf_loss": aux["mf_loss"],
-        "emb_loss": aux["emb_loss"],
-        "feat_reg": aux["feat_reg"],
-        "cl_loss": aux["cl_loss"],
-        "g_lossf": aux["g_lossf"],
-    }
+    # One packed metric vector (ordered by MMSSL_METRIC_KEYS): a single
+    # device buffer so the host pays ONE transfer per fetch — per-scalar
+    # fetches each cost a full relay roundtrip (~29 ms on axon).
+    metrics = jnp.stack([
+        g_loss, loss_d, aux["mf_loss"], aux["emb_loss"],
+        aux["feat_reg"], aux["cl_loss"], aux["g_lossf"],
+    ])
     return new_state, metrics
 
 

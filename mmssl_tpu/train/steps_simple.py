@@ -29,6 +29,9 @@ from mmssl_tpu.models.micro import ModalityAdj, apply_micro
 from mmssl_tpu.ops.sparse import SparseGraph
 
 
+SIMPLE_METRIC_KEYS = ("loss", "mf_loss", "emb_loss", "cl_loss")
+
+
 class SimpleTrainState(NamedTuple):
     params: dict
     opt_state: optax.OptState
@@ -115,10 +118,7 @@ def simple_train_step(
         rng=rng,
         step=state.step + 1,
     )
-    metrics = {
-        "loss": loss,
-        "mf_loss": aux["mf_loss"],
-        "emb_loss": aux["emb_loss"],
-        "cl_loss": aux["cl_loss"],
-    }
+    # Packed metric vector (SIMPLE_METRIC_KEYS order): one device buffer ->
+    # one host transfer per fetch.
+    metrics = jnp.stack([loss, aux["mf_loss"], aux["emb_loss"], aux["cl_loss"]])
     return new_state, metrics

@@ -211,8 +211,17 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
-    def train_batch(self, idx: int) -> Dict[str, float]:
-        """One optimization step; idx is the within-epoch batch index."""
+    @property
+    def metric_keys(self) -> tuple:
+        from mmssl_tpu.train.steps_mmssl import MMSSL_METRIC_KEYS
+        from mmssl_tpu.train.steps_simple import SIMPLE_METRIC_KEYS
+
+        return MMSSL_METRIC_KEYS if self.is_mmssl else SIMPLE_METRIC_KEYS
+
+    def train_batch(self, idx: int) -> jnp.ndarray:
+        """One optimization step; idx is the within-epoch batch index.
+        Returns the packed metric vector (see ``metric_keys``) WITHOUT
+        forcing a host sync."""
         users, pos, neg = self.sampler.sample()
         users, pos, neg = jnp.asarray(users), jnp.asarray(pos), jnp.asarray(neg)
         if self.is_mmssl:
@@ -279,13 +288,20 @@ class Trainer:
         k_idx = min(1, len(cfg.eval.ks) - 1)  # model selection on Ks[1]
         t_start = time.time()
 
+        sync_every = max(cfg.train.sync_every, 1)
         for epoch in range(epochs):
             t0 = time.time()
-            sums: Dict[str, float] = {}
+            # Metrics stay on device; one scalar fetch every sync_every
+            # batches bounds the dispatch queue, one array fetch per epoch
+            # materializes the sums (per-scalar fetches cost a full relay
+            # roundtrip each on the axon backend).
+            metric_list = []
             for idx in range(self.n_batch):
-                metrics = self.train_batch(idx)
-                for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+                metric_list.append(self.train_batch(idx))
+                if (idx + 1) % sync_every == 0:
+                    float(metric_list[-1][0])
+            totals = np.asarray(jnp.sum(jnp.stack(metric_list), axis=0))
+            sums = dict(zip(self.metric_keys, (float(x) for x in totals)))
             train_t = time.time() - t0
             if math.isnan(sums.get("loss", 0.0)):
                 # Reference: NaN abort (main.py:440-442); we stop with state

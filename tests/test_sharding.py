@@ -57,8 +57,9 @@ def test_sharded_step_matches_unsharded(mmssl_setup):
     )
     got_state, got_metrics = step(sh_state, sh_consts, users, pos, neg, rebuild)
 
-    for k in ref_metrics:
-        assert float(got_metrics[k]) == pytest.approx(float(ref_metrics[k]), rel=2e-3, abs=1e-5), k
+    from mmssl_tpu.train.steps_mmssl import MMSSL_METRIC_KEYS
+    for j, k in enumerate(MMSSL_METRIC_KEYS):
+        assert float(got_metrics[j]) == pytest.approx(float(ref_metrics[j]), rel=2e-3, abs=1e-5), k
     np.testing.assert_allclose(
         np.asarray(got_state.params["user_emb"]),
         np.asarray(ref_state.params["user_emb"]),
@@ -85,7 +86,7 @@ def test_sharded_step_with_rebuild(mmssl_setup):
         sh_state, metrics = step(
             sh_state, sh_consts, jnp.asarray(users), jnp.asarray(pos), jnp.asarray(neg), rebuild
         )
-        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics[0]))
 
 
 def test_shard_tree_policy(mmssl_setup):

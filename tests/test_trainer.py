@@ -27,11 +27,11 @@ def _mk_trainer(tiny_dataset, model, **overrides):
 def test_simple_models_train(tiny_dataset, model):
     tr = _mk_trainer(tiny_dataset, model)
     first = tr.train_batch(0)
-    losses = [float(first["loss"])]
+    losses = [float(first[0])]
     for epoch in range(3):
         for idx in range(tr.n_batch):
             m = tr.train_batch(idx)
-        losses.append(float(m["loss"]))
+        losses.append(float(m[0]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]  # optimization makes progress
     res = tr.evaluate("val")
@@ -45,7 +45,7 @@ def test_mmssl_trains(tiny_dataset):
     for epoch in range(4):
         for idx in range(tr.n_batch):
             m = tr.train_batch(idx)
-        losses.append(float(m["mf_loss"]))
+        losses.append(float(m[2]))  # mf_loss
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
     # Densified graphs rebuilt with T=1 cadence: after idx>=2 rebuilds see
