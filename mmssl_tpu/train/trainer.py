@@ -82,6 +82,9 @@ class Trainer:
         self.n_batch = self.ds.n_train // cfg.data.batch_size + 1
         self.feats = {m: jnp.asarray(f) for m, f in self.ds.feats.items()}
         self.feat_dims = {m: int(f.shape[1]) for m, f in self.ds.feats.items()}
+        from mmssl_tpu.utils.faults import FaultInjector
+
+        self.fault_injector = FaultInjector(seed=cfg.train.seed)
         self._rng = jax.random.key(cfg.train.seed)
         self._build()
         self.ckpt = None
@@ -222,6 +225,7 @@ class Trainer:
         """One optimization step; idx is the within-epoch batch index.
         Returns the packed metric vector (see ``metric_keys``) WITHOUT
         forcing a host sync."""
+        self.fault_injector.maybe_fail("train_batch/sample")
         users, pos, neg = self.sampler.sample()
         users, pos, neg = jnp.asarray(users), jnp.asarray(pos), jnp.asarray(neg)
         if self.is_mmssl:
