@@ -26,14 +26,15 @@ def _mk_trainer(tiny_dataset, model, **overrides):
 @pytest.mark.parametrize("model", ["mf", "lightgcn", "ngcf", "lattice", "micro"])
 def test_simple_models_train(tiny_dataset, model):
     tr = _mk_trainer(tiny_dataset, model)
-    first = tr.train_batch(0)
-    losses = [float(first[0])]
-    for epoch in range(3):
+    epoch_means = []
+    for epoch in range(4):
+        batch_losses = []
         for idx in range(tr.n_batch):
-            m = tr.train_batch(idx)
-        losses.append(float(m[0]))
-    assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0]  # optimization makes progress
+            batch_losses.append(float(tr.train_batch(idx)[0]))
+        epoch_means.append(np.mean(batch_losses))
+    assert np.isfinite(epoch_means).all()
+    # Optimization makes progress (epoch means, robust to batch noise).
+    assert epoch_means[-1] < epoch_means[0]
     res = tr.evaluate("val")
     assert res["recall"].shape == (3,)
     assert np.isfinite(res["recall"]).all()
@@ -41,13 +42,14 @@ def test_simple_models_train(tiny_dataset, model):
 
 def test_mmssl_trains(tiny_dataset):
     tr = _mk_trainer(tiny_dataset, "mmssl", **{"train.m_topk_rate": 0.1})
-    losses = []
+    epoch_means = []
     for epoch in range(4):
+        batch_losses = []
         for idx in range(tr.n_batch):
-            m = tr.train_batch(idx)
-        losses.append(float(m[2]))  # mf_loss
-    assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0]
+            batch_losses.append(float(tr.train_batch(idx)[2]))  # mf_loss
+        epoch_means.append(np.mean(batch_losses))
+    assert np.isfinite(epoch_means).all()
+    assert epoch_means[-1] < epoch_means[0]
     # Densified graphs rebuilt with T=1 cadence: after idx>=2 rebuilds see
     # empty buffers (quirk Q5) -> graph vals all zero but run stays finite.
     for m_ in tr.state.mod_ui.values():
