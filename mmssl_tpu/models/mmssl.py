@@ -133,37 +133,31 @@ def modality_attention(
     return Z
 
 
-def apply_mmssl(
+class MMSSLDeterministic(NamedTuple):
+    """Outputs of the dropout-free branch (ID propagation + attention +
+    LightGCN).  Identical between the D-step and G-step forwards of one
+    batch, so the train step computes it once per step via an explicit VJP
+    (the reference recomputes it; values are equal by determinism)."""
+
+    user_base: jnp.ndarray  # [n_users, d] GCN output before feat residuals
+    item_base: jnp.ndarray
+    mm_user_id: Dict[str, jnp.ndarray]
+    mm_item_id: Dict[str, jnp.ndarray]
+
+
+def mmssl_deterministic_branch(
     params: dict,
     graphs: BipartiteGraphs,
-    feats: Mapping[str, jnp.ndarray],  # modality -> [n_items, feat_dim]
     cfg: ModelConfig,
     parity: ParityConfig,
-    train: bool = False,
-    rng: Optional[jax.Array] = None,
-) -> MMSSLOutput:
-    modalities = sorted(feats)
-    d = cfg.embed_size
+    modalities: Tuple[str, ...],
+) -> MMSSLDeterministic:
+    """Steps 2b-5 of the forward (Models.py:179-214): modality-ID propagation
+    over the densified graphs, attention fusion, residual into the ID tables,
+    LightGCN stack with quirk Q3."""
+    mm_user_id = {m: graphs.mod_ui[m].spmm(params["item_emb"]) for m in modalities}
+    mm_item_id = {m: graphs.mod_iu[m].spmm(params["user_emb"]) for m in modalities}
 
-    # 1-2. projection + propagation per modality.
-    mm_user_feats: Dict[str, jnp.ndarray] = {}
-    mm_item_feats: Dict[str, jnp.ndarray] = {}
-    mm_user_id: Dict[str, jnp.ndarray] = {}
-    mm_item_id: Dict[str, jnp.ndarray] = {}
-    for m in modalities:
-        if rng is not None:
-            rng, sub = jax.random.split(rng)
-        else:
-            sub = None
-        proj = dropout(sub, linear(params["proj"][m], feats[m]), cfg.drop_rate, train)
-        user_f = graphs.ui.spmm(proj)
-        item_f = graphs.iu.spmm(user_f)
-        mm_user_feats[m] = user_f
-        mm_item_feats[m] = item_f
-        mm_user_id[m] = graphs.mod_ui[m].spmm(params["item_emb"])
-        mm_item_id[m] = graphs.mod_iu[m].spmm(params["user_emb"])
-
-    # 3. modality attention fusion over ID embeddings.
     user_stack = jnp.stack([mm_user_id[m] for m in modalities], axis=0)
     item_stack = jnp.stack([mm_item_id[m] for m in modalities], axis=0)
     user_z = modality_attention(params, user_stack, cfg.head_num, parity, cfg.model_cat_rate)
@@ -171,13 +165,11 @@ def apply_mmssl(
     user_fused = jnp.mean(user_z, axis=0)
     item_fused = jnp.mean(item_z, axis=0)
 
-    # 4. residual into ID embeddings.
     u_g = params["user_emb"] + cfg.id_cat_rate * l2_normalize(user_fused, axis=1)
     i_g = params["item_emb"] + cfg.id_cat_rate * l2_normalize(item_fused, axis=1)
 
-    # 5. LightGCN over the u-i graph with quirk Q3 on the last layer.
     user_acc, item_acc = u_g, i_g
-    u_cur, i_cur = u_g, i_g
+    i_cur = i_g
     for layer in range(cfg.n_ui_layers):
         last = layer == cfg.n_ui_layers - 1
         u_nxt = graphs.ui.spmm(i_cur)
@@ -188,22 +180,82 @@ def apply_mmssl(
             i_nxt = jax.nn.softmax(i_nxt, axis=-1)
         user_acc = user_acc + u_nxt
         item_acc = item_acc + i_nxt
-        u_cur, i_cur = u_nxt, i_nxt
-    u_g = user_acc / (cfg.n_ui_layers + 1)
-    i_g = item_acc / (cfg.n_ui_layers + 1)
+        i_cur = i_nxt
+    return MMSSLDeterministic(
+        user_base=user_acc / (cfg.n_ui_layers + 1),
+        item_base=item_acc / (cfg.n_ui_layers + 1),
+        mm_user_id=mm_user_id,
+        mm_item_id=mm_item_id,
+    )
 
-    # 6. modality-feature residuals.
+
+def mmssl_modality_feats(
+    params: dict,
+    graphs: BipartiteGraphs,
+    feats: Mapping[str, jnp.ndarray],
+    cfg: ModelConfig,
+    train: bool,
+    rng: Optional[jax.Array],
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Steps 1-2a (Models.py:173-183): per-modality projector + dropout +
+    bipartite feature propagation.  The propagations are batched into ONE
+    wide SpMM across modalities (concat along features): the segment-sum
+    scatter is latency-bound per entry, so widening the rows from d to M*d
+    costs almost nothing while cutting the scatter count M-fold."""
+    modalities = sorted(feats)
+    d = cfg.embed_size
+    projs = []
     for m in modalities:
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = None
+        projs.append(dropout(sub, linear(params["proj"][m], feats[m]), cfg.drop_rate, train))
+    stacked = jnp.concatenate(projs, axis=1)  # [n_items, M*d]
+    user_wide = graphs.ui.spmm(stacked)
+    item_wide = graphs.iu.spmm(user_wide)
+    mm_user_feats = {m: user_wide[:, i * d : (i + 1) * d] for i, m in enumerate(modalities)}
+    mm_item_feats = {m: item_wide[:, i * d : (i + 1) * d] for i, m in enumerate(modalities)}
+    return mm_user_feats, mm_item_feats
+
+
+def mmssl_combine(
+    det: MMSSLDeterministic,
+    mm_user_feats: Mapping[str, jnp.ndarray],
+    mm_item_feats: Mapping[str, jnp.ndarray],
+    cfg: ModelConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Step 6 (Models.py:217-218): modality-feature residual fusion."""
+    u_g, i_g = det.user_base, det.item_base
+    for m in sorted(mm_user_feats):
         u_g = u_g + cfg.model_cat_rate * l2_normalize(mm_user_feats[m], axis=1)
         i_g = i_g + cfg.model_cat_rate * l2_normalize(mm_item_feats[m], axis=1)
+    return u_g, i_g
 
+
+def apply_mmssl(
+    params: dict,
+    graphs: BipartiteGraphs,
+    feats: Mapping[str, jnp.ndarray],  # modality -> [n_items, feat_dim]
+    cfg: ModelConfig,
+    parity: ParityConfig,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> MMSSLOutput:
+    modalities = tuple(sorted(feats))
+    # NOTE rng threading: dropout keys are drawn per modality inside
+    # mmssl_modality_feats in the same (sorted) order as the original
+    # monolithic forward, so draws are unchanged.
+    mm_user_feats, mm_item_feats = mmssl_modality_feats(params, graphs, feats, cfg, train, rng)
+    det = mmssl_deterministic_branch(params, graphs, cfg, parity, modalities)
+    u_g, i_g = mmssl_combine(det, mm_user_feats, mm_item_feats, cfg)
     return MMSSLOutput(
         user_emb=u_g,
         item_emb=i_g,
         mm_user_feats=mm_user_feats,
         mm_item_feats=mm_item_feats,
-        mm_user_id=mm_user_id,
-        mm_item_id=mm_item_id,
+        mm_user_id=det.mm_user_id,
+        mm_item_id=det.mm_item_id,
     )
 
 

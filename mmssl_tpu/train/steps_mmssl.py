@@ -42,6 +42,9 @@ from mmssl_tpu.models.mmssl import (
     BipartiteGraphs,
     apply_discriminator,
     apply_mmssl,
+    mmssl_combine,
+    mmssl_deterministic_branch,
+    mmssl_modality_feats,
 )
 from mmssl_tpu.ops.sparse import SparseGraph, device_row_norm_inv_sqrt
 
@@ -206,10 +209,20 @@ def mmssl_train_step_impl(
     graphs = BipartiteGraphs(ui=consts.ui, iu=consts.iu, mod_ui=state.mod_ui, mod_iu=state.mod_iu)
     u_ui = interaction_rows(consts.train_pad, users, n_items)
 
+    # The dropout-free branch (ID propagation + attention + GCN) is identical
+    # between the D-step and G-step forwards of one batch (the reference
+    # recomputes it, main.py:339/363; the values are equal by determinism).
+    # Compute it ONCE via an explicit VJP: the D step consumes the primals,
+    # the G step pulls its gradients back through det_vjp.  The expensive
+    # segment-sum scatters in this branch thus run once per step.
+    det_fn = lambda p: mmssl_deterministic_branch(p, graphs, cfg.model, cfg.parity, tuple(modalities))
+    det, det_vjp = jax.vjp(det_fn, state.params)
+
     # ---- discriminator step (generator frozen, main.py:339-361) ----
-    out0 = apply_mmssl(state.params, graphs, consts.feats, cfg.model, cfg.parity, train=True, rng=r_fwd0)
-    ui_sim = u_sim(out0.user_emb[users], out0.item_emb, u_ui)
-    fake_sims = [u_sim(out0.mm_user_feats[m][users], out0.mm_item_feats[m], u_ui) for m in modalities]
+    featsD_u, featsD_i = mmssl_modality_feats(state.params, graphs, consts.feats, cfg.model, True, r_fwd0)
+    uaD, iaD = mmssl_combine(det, featsD_u, featsD_i, cfg.model)
+    ui_sim = u_sim(uaD[users], iaD, u_ui)
+    fake_sims = [u_sim(featsD_u[m][users], featsD_i[m], u_ui) for m in modalities]
     inputf = jnp.concatenate(fake_sims, axis=0)  # [M*B, n_items]
     real = gumbel_soften_rows(u_ui, ui_sim, r_gum, cfg)
     inputr = jnp.concatenate([real] * len(modalities), axis=0)
@@ -227,18 +240,19 @@ def mmssl_train_step_impl(
     d_params = optax.apply_updates(state.d_params, d_updates)
 
     # ---- generator step against updated D (main.py:363-429) ----
-    def g_loss_fn(params):
-        out = apply_mmssl(params, graphs, consts.feats, cfg.model, cfg.parity, train=True, rng=r_gfwd)
-        mf, emb, reg = bpr_loss(out.user_emb[users], out.item_emb[pos], out.item_emb[neg], t.decay)
-        mod_u_sims = {m: u_sim(out.mm_user_feats[m][users], out.mm_item_feats[m], u_ui) for m in modalities}
+    def g_loss_fn(params, det_in):
+        fu, fi = mmssl_modality_feats(params, graphs, consts.feats, cfg.model, True, r_gfwd)
+        ua, ia = mmssl_combine(det_in, fu, fi, cfg.model)
+        mf, emb, reg = bpr_loss(ua[users], ia[pos], ia[neg], t.decay)
+        mod_u_sims = {m: u_sim(fu[m][users], fi[m], u_ui) for m in modalities}
         fr = feat_reg_loss(
-            [out.mm_item_feats[m] for m in modalities] + [out.mm_user_feats[m] for m in modalities],
+            [fi[m] for m in modalities] + [fu[m] for m in modalities],
             n_items,
             t.feat_reg_decay,
         )
         cl = jnp.zeros(())
         for m in modalities:
-            cl = cl + infonce(out.mm_user_id[m][users], out.user_emb[users], t.cl_tau, eps=1e-8,
+            cl = cl + infonce(det_in.mm_user_id[m][users], ua[users], t.cl_tau, eps=1e-8,
                               row_chunk=max(users.shape[0], 1))
         g_inputf = jnp.concatenate([mod_u_sims[m] for m in modalities], axis=0)
         g_predf = apply_discriminator(d_params, g_inputf, cfg.model, cfg.parity, train=True, rng=r_gd)
@@ -250,7 +264,11 @@ def mmssl_train_step_impl(
         }
         return total, aux
 
-    (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.params)
+    (g_loss, aux), (g_direct, det_grads) = jax.value_and_grad(
+        g_loss_fn, argnums=(0, 1), has_aux=True
+    )(state.params, det)
+    (det_param_grads,) = det_vjp(det_grads)
+    g_grads = jax.tree.map(jnp.add, g_direct, det_param_grads)
     g_updates, opt_state = g_opt.update(g_grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, g_updates)
 

@@ -73,8 +73,18 @@ class FitResult:
 
 
 class Trainer:
-    def __init__(self, cfg: ExperimentConfig, dataset: Optional[RecDataset] = None, logger: Optional[MetricLogger] = None):
+    """One training engine for the whole model zoo.
+
+    Pass a ``jax.sharding.Mesh`` to run the MMSSL train step SPMD over it
+    (DP batch axis + row-sharded tables/catalog axis, parallel/spmd.py);
+    the batch size must divide the data axis.  Without a mesh everything
+    runs single-device.
+    """
+
+    def __init__(self, cfg: ExperimentConfig, dataset: Optional[RecDataset] = None,
+                 logger: Optional[MetricLogger] = None, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.ds = dataset if dataset is not None else load_dataset(cfg.data)
         self.logger = logger or MetricLogger(name=f"{cfg.model.name}-{cfg.data.dataset}")
         self.sampler = NegativeSampler(self.ds, cfg.data.batch_size, seed=cfg.train.seed)
@@ -167,6 +177,17 @@ class Trainer:
             rng=self._split_rng(),
             step=jnp.zeros((), jnp.int32),
         )
+        self._sharded_step = None
+        if self.mesh is not None:
+            from mmssl_tpu.parallel.spmd import make_sharded_mmssl_step
+
+            assert self.cfg.data.batch_size % self.mesh.shape["data"] == 0, (
+                "batch size must divide the mesh data axis"
+            )
+            self._sharded_step, self.state, self.consts = make_sharded_mmssl_step(
+                self.mesh, self.cfg, self.g_opt, self.d_opt,
+                self.ds.n_users, self.ds.n_items, self.state, self.consts,
+            )
 
     def _build_simple(self) -> None:
         cfg, ds = self.cfg, self.ds
@@ -231,10 +252,15 @@ class Trainer:
         if self.is_mmssl:
             t = max(self.cfg.train.densify_period, 1)
             do_rebuild = jnp.asarray(idx % t == 0 and idx != 0)
-            self.state, metrics = mmssl_train_step(
-                self.state, self.consts, users, pos, neg, do_rebuild,
-                self.cfg, self.g_opt, self.d_opt, self.ds.n_users, self.ds.n_items,
-            )
+            if self._sharded_step is not None:
+                self.state, metrics = self._sharded_step(
+                    self.state, self.consts, users, pos, neg, do_rebuild
+                )
+            else:
+                self.state, metrics = mmssl_train_step(
+                    self.state, self.consts, users, pos, neg, do_rebuild,
+                    self.cfg, self.g_opt, self.d_opt, self.ds.n_users, self.ds.n_items,
+                )
         else:
             # LATTICE/MICRO rebuild the learned item graph only on the first
             # batch of each epoch (LATTICE/codes/main.py:77,84-85).

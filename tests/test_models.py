@@ -135,6 +135,53 @@ def test_mmssl_grad_flows(setup):
     assert float(jnp.abs(g["w_q"]).sum()) == pytest.approx(0.0, abs=1e-5)
 
 
+def test_mmssl_split_vjp_grad_equivalence(setup):
+    # The train step computes the dropout-free branch once via jax.vjp and
+    # pulls gradients back explicitly; must equal differentiating the
+    # monolithic forward.
+    from mmssl_tpu.models.mmssl import (
+        mmssl_combine,
+        mmssl_deterministic_branch,
+        mmssl_modality_feats,
+    )
+
+    _, ui, iu, _, feats, cfg = setup
+    params = init_mmssl(jax.random.key(11), N_USERS, N_ITEMS, FEAT_DIMS, cfg)
+    graphs = BipartiteGraphs(ui=ui, iu=iu, mod_ui={m: ui for m in feats}, mod_iu={m: iu for m in feats})
+    parity = ParityConfig()
+    modalities = tuple(sorted(feats))
+
+    def loss_mono(p):
+        out = apply_mmssl(p, graphs, feats, cfg, parity, train=False)
+        return jnp.sum(out.user_emb ** 2) + jnp.sum(out.mm_user_id["image"] ** 2)
+
+    def split_grads(p):
+        det, det_vjp = jax.vjp(
+            lambda q: mmssl_deterministic_branch(q, graphs, cfg, parity, modalities), p
+        )
+
+        def g(q, det_in):
+            fu, fi = mmssl_modality_feats(q, graphs, feats, cfg, False, None)
+            ua, _ = mmssl_combine(det_in, fu, fi, cfg)
+            return jnp.sum(ua ** 2) + jnp.sum(det_in.mm_user_id["image"] ** 2)
+
+        direct, det_g = jax.grad(g, argnums=(0, 1))(p, det)
+        (from_det,) = det_vjp(det_g)
+        return jax.tree.map(jnp.add, direct, from_det)
+
+    g_mono = jax.grad(loss_mono)(params)
+    g_split = split_grads(params)
+    for key in ("user_emb", "item_emb", "w_cat"):
+        np.testing.assert_allclose(
+            np.asarray(g_mono[key]), np.asarray(g_split[key]), rtol=1e-4, atol=1e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(g_mono["proj"]["image"]["w"]),
+        np.asarray(g_split["proj"]["image"]["w"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_discriminator(setup):
     *_, cfg = setup
     n = 32

@@ -1,0 +1,61 @@
+"""Trainer with a mesh: full MMSSL fit runs SPMD end-to-end on 8 devices,
+and a tri-modal (Tiktok-style) dataset trains through the same engine."""
+
+import numpy as np
+import pytest
+
+from mmssl_tpu.config import preset
+from mmssl_tpu.data import load_dataset, write_synthetic_dataset
+from mmssl_tpu.config import DataConfig
+from mmssl_tpu.parallel.mesh import make_mesh
+from mmssl_tpu.train.trainer import Trainer
+from mmssl_tpu.utils.logging import MetricLogger
+
+
+def test_mmssl_trainer_on_mesh(tiny_dataset):
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    cfg = preset("tiny", "mmssl", **{
+        "data.batch_size": 16,
+        "model.embed_size": 16,
+        "train.m_topk_rate": 0.1,
+        "train.densify_period": 2,
+        "eval.ks": (3, 5, 10),
+    })
+    tr = Trainer(cfg, dataset=tiny_dataset, logger=MetricLogger(quiet=True), mesh=mesh)
+    res = tr.fit(epochs=2)
+    assert res.epochs_run == 2
+    assert np.isfinite(res.best_val_recall)
+    assert "recall" in res.test_metrics
+
+
+def test_mesh_batch_divisibility(tiny_dataset):
+    mesh = make_mesh(8, mesh_shape=(8, 1))
+    cfg = preset("tiny", "mmssl", **{"data.batch_size": 12})  # 12 % 8 != 0
+    with pytest.raises(AssertionError):
+        Trainer(cfg, dataset=tiny_dataset, logger=MetricLogger(quiet=True), mesh=mesh)
+
+
+def test_trimodal_mmssl_trains(tmp_path):
+    # Tiktok-style: visual/acoustic/text (the reference code consumes only 2
+    # modalities; our stack is N-modal end to end).
+    root = str(tmp_path)
+    write_synthetic_dataset(
+        root, "tri", n_users=40, n_items=24,
+        modality_dims={"image": 16, "audio": 8, "text": 12}, seed=5,
+    )
+    cfg = preset("tiktok", "mmssl", **{
+        "data.data_path": root,
+        "data.dataset": "tri",
+        "data.batch_size": 16,
+        "data.modalities": ("image", "audio", "text"),
+        "model.embed_size": 16,
+        "train.m_topk_rate": 0.1,
+        "eval.ks": (3, 5),
+    })
+    ds = load_dataset(cfg.data)
+    assert set(ds.feats) == {"image", "audio", "text"}
+    tr = Trainer(cfg, dataset=ds, logger=MetricLogger(quiet=True))
+    res = tr.fit(epochs=2)
+    assert res.epochs_run == 2
+    assert len(tr.state.mod_ui) == 3  # one densified graph per modality
+    assert np.isfinite(res.best_val_recall)
