@@ -71,10 +71,30 @@ def _eval_user_batch(
     return out
 
 
-class Evaluator:
-    """Holds device-resident protocol state (pads, counts) for a dataset."""
+@partial(jax.jit, static_argnames=("ks",))
+def _metrics_from_ids(
+    top_ids: jnp.ndarray,  # int32 [B, k_max] ranked ids
+    users: jnp.ndarray,
+    valid: jnp.ndarray,
+    pos_pad: jnp.ndarray,
+    pos_cnt: jnp.ndarray,
+    ks: tuple[int, ...],
+) -> Dict[str, jnp.ndarray]:
+    per_user = batch_metrics_from_topk(top_ids, pos_pad[users], pos_cnt[users], ks)
+    out = {name: jnp.sum(v * valid[:, None], axis=0) for name, v in per_user.items()}
+    out["auc"] = jnp.zeros(())
+    return out
 
-    def __init__(self, dataset: RecDataset, cfg: EvalConfig):
+
+class Evaluator:
+    """Holds device-resident protocol state (pads, counts) for a dataset.
+
+    Pass a mesh to run catalog-sharded scoring + distributed top-k
+    (parallel/eval_sharded.py); requires n_items divisible by the model axis
+    and 'part' test mode (full-AUC needs the whole score row and falls back
+    to the dense path)."""
+
+    def __init__(self, dataset: RecDataset, cfg: EvalConfig, mesh=None):
         self.cfg = cfg
         self.ks = tuple(cfg.ks)
         train_pad, _ = dataset.padded_split("train")
@@ -88,6 +108,14 @@ class Evaluator:
                 jnp.asarray(pos_cnt),
                 users,
             )
+        self.mesh = mesh
+        self._sharded_topk = None
+        if mesh is not None and cfg.test_flag != "full":
+            model_p = mesh.shape.get("model", 1)
+            if model_p > 1 and dataset.n_items % model_p == 0:
+                from mmssl_tpu.parallel.eval_sharded import make_sharded_topk
+
+                self._sharded_topk = make_sharded_topk(mesh, max(self.ks))
 
     def evaluate(self, u_emb: jnp.ndarray, i_emb: jnp.ndarray, which: str = "val") -> Dict[str, np.ndarray]:
         """Returns {'recall': [len(ks)], 'precision': ..., 'ndcg': ...,
@@ -96,6 +124,11 @@ class Evaluator:
         n_users = len(users)
         bs = self.cfg.user_batch_size
         full_auc = self.cfg.test_flag == "full"
+        sharded = self._sharded_topk is not None
+        if sharded:
+            from mmssl_tpu.parallel.eval_sharded import shard_items
+
+            i_emb_sharded = shard_items(self.mesh, i_emb)
         totals: Dict[str, jnp.ndarray] = {}
         for start in range(0, max(n_users, 1), bs):
             batch = users[start : start + bs]
@@ -104,17 +137,24 @@ class Evaluator:
             if pad_len > 0:
                 batch = np.concatenate([batch, np.zeros(pad_len, dtype=np.int32)])
                 valid = np.concatenate([valid, np.zeros(pad_len, dtype=np.float32)])
-            part = _eval_user_batch(
-                u_emb,
-                i_emb,
-                jnp.asarray(batch),
-                jnp.asarray(valid),
-                self.train_pad,
-                pos_pad,
-                pos_cnt,
-                self.ks,
-                full_auc,
-            )
+            batch_j, valid_j = jnp.asarray(batch), jnp.asarray(valid)
+            if sharded:
+                _, top_ids = self._sharded_topk(
+                    u_emb[batch_j], i_emb_sharded, self.train_pad[batch_j]
+                )
+                part = _metrics_from_ids(top_ids, batch_j, valid_j, pos_pad, pos_cnt, self.ks)
+            else:
+                part = _eval_user_batch(
+                    u_emb,
+                    i_emb,
+                    batch_j,
+                    valid_j,
+                    self.train_pad,
+                    pos_pad,
+                    pos_cnt,
+                    self.ks,
+                    full_auc,
+                )
             for name, v in part.items():
                 totals[name] = totals.get(name, 0) + v
         return {name: np.asarray(v) / max(n_users, 1) for name, v in totals.items()}

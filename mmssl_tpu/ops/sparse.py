@@ -81,6 +81,26 @@ def joint_adj(R: sp.spmatrix, n_users: int, n_items: int) -> Tuple[sp.csr_matrix
     return adj, norm_adj, mean_adj
 
 
+def get_adj_mat(path: str, R: sp.spmatrix, n_users: int, n_items: int):
+    """Cached joint adjacency, reference behavior (``get_adj_mat``,
+    MICRO/codes/utility/load_data.py:90-103): load ``s_adj_mat.npz`` /
+    ``s_norm_adj_mat.npz`` / ``s_mean_adj_mat.npz`` from the dataset
+    directory if present, else build via :func:`joint_adj` and save."""
+    import os
+
+    names = ("s_adj_mat.npz", "s_norm_adj_mat.npz", "s_mean_adj_mat.npz")
+    paths = [os.path.join(path, n) for n in names]
+    if all(os.path.exists(p) for p in paths):
+        return tuple(sp.load_npz(p) for p in paths)
+    mats = joint_adj(R, n_users, n_items)
+    try:
+        for p, m in zip(paths, mats):
+            sp.save_npz(p, sp.csr_matrix(m))
+    except OSError:
+        pass  # read-only dataset dir: recompute next time
+    return mats
+
+
 # ---------------------------------------------------------------------------
 # Device-side container
 # ---------------------------------------------------------------------------

@@ -4,11 +4,14 @@ The item axis is this workload's long axis (SURVEY.md §5.7): full-catalog
 scoring U @ I^T, train-item masking, and top-K.  Sharded design:
 
   - i_emb rows sharded over the mesh's model axis (P shards)
-  - each device computes its local [B, n_items/P] score block + local mask
-  - local top-k (k <= K_max) per device — the only all-to-all data movement
-    is the [P, B, K_max] candidate set (ids offset to global), all-gathered
-    and merged by a second top-k.  Communication shrinks from O(n_items) to
-    O(P * K_max) per user row.
+  - each device computes its local [B, n_items/P] score block and applies
+    the train-item exclusion for the items that fall in its shard, built
+    from the (replicated, tiny) padded train-item lists — the [B, n_items]
+    mask is never materialized
+  - local top-k per device; the only cross-device data movement is the
+    [B, P*K_max] candidate set (ids globalized), all-gathered and merged by
+    a second top-k.  Communication shrinks from O(n_items) to O(P * K_max)
+    per user row.
 
 Exactness: the global top-K of a row is contained in the union of per-shard
 top-Ks, so the merge is exact (standard distributed top-k argument).
@@ -29,19 +32,26 @@ from mmssl_tpu.parallel.mesh import MODEL_AXIS
 
 
 def make_sharded_topk(mesh: Mesh, k_max: int):
-    """Returns topk(u_rows [B, d], i_emb [n_items, d], mask_add [B, n_items])
-    -> (vals [B, k_max], ids [B, k_max]) with i_emb/mask sharded on the item
-    axis over MODEL_AXIS."""
+    """Returns topk(u_rows [B, d], i_emb [n_items, d], u_train [B, max_deg])
+    -> (vals [B, k_max], ids [B, k_max]); i_emb sharded on rows over
+    MODEL_AXIS, u_rows/u_train replicated.  u_train lists the items to
+    exclude per row (pad < 0)."""
 
-    def _local(u_rows, i_shard, mask_shard):
-        # u_rows replicated; i_shard [n_local, d]; mask_shard [B, n_local]
+    def _local(u_rows, i_shard, u_train):
         n_local = i_shard.shape[0]
+        B = u_rows.shape[0]
         shard_ix = jax.lax.axis_index(MODEL_AXIS)
-        scores = u_rows @ i_shard.T + mask_shard  # [B, n_local]
+        offset = shard_ix * n_local
+        scores = u_rows @ i_shard.T  # [B, n_local]
+        # Exclude train items that fall in this shard: local index or OOB.
+        local_cols = u_train - offset
+        in_shard = (u_train >= offset) & (u_train < offset + n_local) & (u_train >= 0)
+        local_cols = jnp.where(in_shard, local_cols, n_local)
+        row_ix = jnp.arange(B, dtype=jnp.int32)[:, None]
+        scores = scores.at[row_ix, local_cols].set(-jnp.inf, mode="drop")
         k_local = min(k_max, n_local)
         vals, ids = jax.lax.top_k(scores, k_local)
-        ids = ids + shard_ix * n_local  # globalize
-        # Gather candidates from every shard and merge.
+        ids = ids + offset  # globalize
         all_vals = jax.lax.all_gather(vals, MODEL_AXIS, axis=1, tiled=True)  # [B, P*k]
         all_ids = jax.lax.all_gather(ids, MODEL_AXIS, axis=1, tiled=True)
         m_vals, m_pos = jax.lax.top_k(all_vals, k_max)
@@ -51,16 +61,13 @@ def make_sharded_topk(mesh: Mesh, k_max: int):
     fn = shard_map(
         _local,
         mesh=mesh,
-        in_specs=(P(), P(MODEL_AXIS, None), P(None, MODEL_AXIS)),
+        in_specs=(P(), P(MODEL_AXIS, None), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)
 
 
-def shard_eval_inputs(mesh: Mesh, i_emb: jnp.ndarray, mask_add: jnp.ndarray):
-    """Place the item-axis operands with the shardings make_sharded_topk
-    expects (pads must be handled by the caller; n_items must divide P)."""
-    i_sh = NamedSharding(mesh, P(MODEL_AXIS, None))
-    m_sh = NamedSharding(mesh, P(None, MODEL_AXIS))
-    return jax.device_put(i_emb, i_sh), jax.device_put(mask_add, m_sh)
+def shard_items(mesh: Mesh, i_emb: jnp.ndarray) -> jnp.ndarray:
+    """Row-shard the item table over the model axis (n_items % P == 0)."""
+    return jax.device_put(i_emb, NamedSharding(mesh, P(MODEL_AXIS, None)))

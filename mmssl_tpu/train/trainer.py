@@ -192,7 +192,17 @@ class Trainer:
     def _build_simple(self) -> None:
         cfg, ds = self.cfg, self.ds
         name = cfg.model.name
-        _, norm_adj, _ = joint_adj(ds.R, ds.n_users, ds.n_items)
+        # Disk-cached like the reference (s_*.npz next to the data) when a
+        # real dataset dir exists; synthetic/in-memory datasets just build.
+        import os
+
+        from mmssl_tpu.ops.sparse import get_adj_mat
+
+        ds_dir = os.path.join(cfg.data.data_path, cfg.data.dataset)
+        if cfg.data.data_path and os.path.isdir(ds_dir):
+            _, norm_adj, _ = get_adj_mat(ds_dir, ds.R, ds.n_users, ds.n_items)
+        else:
+            _, norm_adj, _ = joint_adj(ds.R, ds.n_users, ds.n_items)
         joint = SparseGraph.from_scipy(norm_adj)
         self.sparse_mode = True
         original_adjs: Dict[str, Any] = {}

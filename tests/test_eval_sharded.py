@@ -1,45 +1,81 @@
-"""Distributed top-k over item shards == single-device top-k."""
+"""Distributed top-k over item shards == single-device eval."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mmssl_tpu.parallel.eval_sharded import make_sharded_topk, shard_eval_inputs
+from mmssl_tpu.config import EvalConfig
+from mmssl_tpu.eval.evaluator import Evaluator
+from mmssl_tpu.parallel.eval_sharded import make_sharded_topk, shard_items
 from mmssl_tpu.parallel.mesh import make_mesh
 
 
 def test_sharded_topk_exact():
     mesh = make_mesh(8, mesh_shape=(1, 8))
     rng = np.random.default_rng(0)
-    B, n_items, d, k = 16, 64, 8, 10
+    B, n_items, d, k, max_deg = 16, 64, 8, 10, 5
     u = (rng.integers(-8, 9, (B, d)) / 16).astype(np.float32)
     i = (rng.integers(-8, 9, (n_items, d)) / 16).astype(np.float32)
-    mask = np.zeros((B, n_items), np.float32)
-    mask[rng.random((B, n_items)) < 0.2] = -np.inf  # train-item exclusions
+    u_train = np.full((B, max_deg), -1, np.int32)
+    for b in range(B):
+        deg = int(rng.integers(0, max_deg + 1))
+        u_train[b, :deg] = rng.choice(n_items, deg, replace=False)
 
-    ref_scores = u @ i.T + mask
-    ref_vals, ref_ids = jax.lax.top_k(jnp.asarray(ref_scores), k)
+    # Dense reference with -inf exclusion.
+    ref_scores = u @ i.T
+    for b in range(B):
+        for it in u_train[b]:
+            if it >= 0:
+                ref_scores[b, it] = -np.inf
+    ref_vals, _ = jax.lax.top_k(jnp.asarray(ref_scores), k)
 
     topk = make_sharded_topk(mesh, k)
-    i_sh, m_sh = shard_eval_inputs(mesh, jnp.asarray(i), jnp.asarray(mask))
-    vals, ids = topk(jnp.asarray(u), i_sh, m_sh)
-
+    vals, ids = topk(jnp.asarray(u), shard_items(mesh, jnp.asarray(i)), jnp.asarray(u_train))
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-6)
-    # ids can differ only where scores tie; verify score-equivalence.
     got_scores = np.take_along_axis(ref_scores, np.asarray(ids), axis=1)
     np.testing.assert_allclose(got_scores, np.asarray(ref_vals), rtol=1e-6)
 
 
 def test_sharded_topk_k_exceeds_shard():
-    # k_max > n_items/P exercises the k_local clamp.
     mesh = make_mesh(8, mesh_shape=(1, 8))
     rng = np.random.default_rng(1)
     B, n_items, d, k = 4, 32, 8, 6  # shard size 4 < k
     u = rng.normal(size=(B, d)).astype(np.float32)
     i = rng.normal(size=(n_items, d)).astype(np.float32)
-    mask = np.zeros((B, n_items), np.float32)
+    u_train = np.full((B, 2), -1, np.int32)
     topk = make_sharded_topk(mesh, k)
-    i_sh, m_sh = shard_eval_inputs(mesh, jnp.asarray(i), jnp.asarray(mask))
-    vals, ids = topk(jnp.asarray(u), i_sh, m_sh)
+    vals, _ = topk(jnp.asarray(u), shard_items(mesh, jnp.asarray(i)), jnp.asarray(u_train))
     ref_vals, _ = jax.lax.top_k(jnp.asarray(u @ i.T), k)
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5)
+
+
+def test_evaluator_with_mesh_matches_dense(tiny_dataset):
+    # tiny dataset: n_items=30 -> use a (4, 2) mesh (30 % 2 == 0).
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    rng = np.random.default_rng(2)
+    ds = tiny_dataset
+    u_emb = jnp.asarray((rng.integers(-8, 9, (ds.n_users, 8)) / 16).astype(np.float32))
+    i_emb = jnp.asarray((rng.integers(-8, 9, (ds.n_items, 8)) / 16).astype(np.float32))
+    cfg = EvalConfig(ks=(3, 5, 10), user_batch_size=16)
+    dense = Evaluator(ds, cfg).evaluate(u_emb, i_emb, "test")
+    sharded_ev = Evaluator(ds, cfg, mesh=mesh)
+    assert sharded_ev._sharded_topk is not None
+    sharded = sharded_ev.evaluate(u_emb, i_emb, "test")
+    for m in ("recall", "precision", "ndcg", "hit_ratio"):
+        np.testing.assert_allclose(sharded[m], dense[m], rtol=1e-5, atol=1e-6)
+
+
+def test_global_batch_loader(tiny_dataset):
+    from mmssl_tpu.data import NegativeSampler
+    from mmssl_tpu.parallel.data_loading import GlobalBatchLoader
+
+    mesh = make_mesh(8, mesh_shape=(8, 1))
+    sampler = NegativeSampler(tiny_dataset, batch_size=16, seed=0)
+    loader = GlobalBatchLoader(sampler, mesh, global_batch_size=16)
+    users, pos, neg = loader.next()
+    assert users.shape == (16,)
+    assert users.sharding.spec == ("data",)
+    u, p, n = np.asarray(users), np.asarray(pos), np.asarray(neg)
+    for uu, pp, nn in zip(u, p, n):
+        assert pp in tiny_dataset.train_items[int(uu)]
+        assert nn not in tiny_dataset.train_items[int(uu)]

@@ -124,3 +124,17 @@ def test_device_row_norm_matches_scipy_with_duplicates():
     np.testing.assert_allclose(
         np.asarray(g.spmm(jnp.asarray(X))), ref_norm @ X, rtol=1e-5, atol=1e-6
     )
+
+
+def test_get_adj_mat_cache(tmp_path):
+    # Reference cache behavior: compute + save on miss, load on hit.
+    import os
+
+    from mmssl_tpu.ops.sparse import get_adj_mat
+
+    rng = np.random.default_rng(6)
+    R = _rand_csr(rng, 5, 4)
+    a1, n1, m1 = get_adj_mat(str(tmp_path), R, 5, 4)
+    assert os.path.exists(tmp_path / "s_norm_adj_mat.npz")
+    a2, n2, m2 = get_adj_mat(str(tmp_path), R, 5, 4)  # cache hit
+    np.testing.assert_allclose(np.asarray(n1.todense()), np.asarray(n2.todense()))
