@@ -136,6 +136,14 @@ class TrainConfig:
     # the device dispatch queue (the axon relay degrades badly past ~8
     # queued donated-state steps) while amortizing the ~29 ms roundtrip.
     sync_every: int = 4
+    # Train steps fused into one lax.scan dispatch with on-device sampling
+    # (steps_*.py *_train_epoch). 0 = one dispatch per batch with the host
+    # sampler.  On relay-attached TPUs every host roundtrip costs ~40 ms, so
+    # fusing an epoch's batches into one program removes most of the
+    # end-to-end step cost; the sampling distribution is identical
+    # (data/sampler_device.py).  Epoch tails shorter than this run as
+    # per-batch dispatches to bound compile variants.
+    steps_per_dispatch: int = 32
     checkpoint_dir: str = ""
     checkpoint_every: int = 0  # epochs; 0 = disabled
     log_every_steps: int = 0  # 0 = per-epoch only

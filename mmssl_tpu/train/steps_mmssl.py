@@ -305,3 +305,51 @@ mmssl_train_step = partial(
     static_argnames=("cfg", "g_opt", "d_opt", "n_users", "n_items"),
     donate_argnums=(0,),
 )(mmssl_train_step_impl)
+
+
+def mmssl_train_epoch_impl(
+    state: MMSSLTrainState,
+    consts: MMSSLConsts,
+    sampler: "DeviceSamplerConsts",
+    start_idx: jnp.ndarray,  # int32 scalar: within-epoch index of the first step
+    n_steps: int,
+    cfg: ExperimentConfig,
+    g_opt: optax.GradientTransformation,
+    d_opt: optax.GradientTransformation,
+    n_users: int,
+    n_items: int,
+) -> Tuple[MMSSLTrainState, jnp.ndarray]:
+    """``n_steps`` MMSSL train steps as ONE device program.
+
+    Sampling happens on device (data/sampler_device.py) so the scan needs no
+    per-step host input; the densification cadence ``do_rebuild = (idx % T ==
+    0) & (idx != 0)`` (main.py:378-397, quirk Q5) is computed from the carried
+    within-epoch index.  Returns stacked metrics [n_steps, len(METRIC_KEYS)] —
+    the host pays one dispatch plus one fetch for the whole chunk instead of a
+    ~40 ms relay roundtrip per batch.
+    """
+    from mmssl_tpu.data.sampler_device import device_sample
+
+    t = max(cfg.train.densify_period, 1)
+
+    def body(carry: MMSSLTrainState, i: jnp.ndarray):
+        idx = start_idx + i
+        do_rebuild = jnp.logical_and(idx % t == 0, idx != 0)
+        rng, r_samp = jax.random.split(carry.rng)
+        carry = carry._replace(rng=rng)
+        users, pos, neg = device_sample(r_samp, sampler, n_items, cfg.data.batch_size)
+        new_state, metrics = mmssl_train_step_impl(
+            carry, consts, users, pos, neg, do_rebuild,
+            cfg, g_opt, d_opt, n_users, n_items,
+        )
+        return new_state, metrics
+
+    state, metrics = jax.lax.scan(body, state, jnp.arange(n_steps))
+    return state, metrics
+
+
+mmssl_train_epoch = partial(
+    jax.jit,
+    static_argnames=("n_steps", "cfg", "g_opt", "d_opt", "n_users", "n_items"),
+    donate_argnums=(0,),
+)(mmssl_train_epoch_impl)

@@ -48,12 +48,7 @@ class SimpleConsts(NamedTuple):
     original_adjs: Dict[str, ModalityAdj]  # static modality graphs (LATTICE/MICRO)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "opt", "build_item_graph", "sparse"),
-    donate_argnums=(0,),
-)
-def simple_train_step(
+def simple_train_step_impl(
     state: SimpleTrainState,
     consts: SimpleConsts,
     users: jnp.ndarray,
@@ -122,3 +117,51 @@ def simple_train_step(
     # one host transfer per fetch.
     metrics = jnp.stack([loss, aux["mf_loss"], aux["emb_loss"], aux["cl_loss"]])
     return new_state, metrics
+
+
+simple_train_step = partial(
+    jax.jit,
+    static_argnames=("cfg", "opt", "build_item_graph", "sparse"),
+    donate_argnums=(0,),
+)(simple_train_step_impl)
+
+
+def simple_train_epoch_impl(
+    state: SimpleTrainState,
+    consts: SimpleConsts,
+    sampler: "DeviceSamplerConsts",
+    n_steps: int,
+    n_items: int,
+    cfg: ExperimentConfig,
+    opt: optax.GradientTransformation,
+    sparse: bool = True,
+) -> Tuple[SimpleTrainState, jnp.ndarray]:
+    """``n_steps`` non-building train steps as ONE device program.
+
+    LATTICE/MICRO rebuild their learned item graph only on the first batch of
+    an epoch (LATTICE/codes/main.py:77,84-85) — the Trainer runs that batch as
+    a separate build_item_graph=True dispatch and scans the rest here with the
+    carried item state.  Sampling is on device, so the whole chunk needs no
+    per-step host traffic (one dispatch + one metrics fetch).
+    """
+    from mmssl_tpu.data.sampler_device import device_sample
+
+    def body(carry: SimpleTrainState, _):
+        rng, r_samp = jax.random.split(carry.rng)
+        carry = carry._replace(rng=rng)
+        users, pos, neg = device_sample(r_samp, sampler, n_items, cfg.data.batch_size)
+        new_state, metrics = simple_train_step_impl(
+            carry, consts, users, pos, neg, cfg, opt,
+            build_item_graph=False, sparse=sparse,
+        )
+        return new_state, metrics
+
+    state, metrics = jax.lax.scan(body, state, None, length=n_steps)
+    return state, metrics
+
+
+simple_train_epoch = partial(
+    jax.jit,
+    static_argnames=("n_steps", "n_items", "cfg", "opt", "sparse"),
+    donate_argnums=(0,),
+)(simple_train_epoch_impl)

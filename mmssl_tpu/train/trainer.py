@@ -51,13 +51,20 @@ from mmssl_tpu.train.optim import (
     make_generator_optimizer,
     make_simple_optimizer,
 )
+from mmssl_tpu.data.sampler_device import make_device_sampler_consts
 from mmssl_tpu.train.steps_mmssl import (
     MMSSLConsts,
     MMSSLTrainState,
     graph_capacity,
+    mmssl_train_epoch,
     mmssl_train_step,
 )
-from mmssl_tpu.train.steps_simple import SimpleConsts, SimpleTrainState, simple_train_step
+from mmssl_tpu.train.steps_simple import (
+    SimpleConsts,
+    SimpleTrainState,
+    simple_train_epoch,
+    simple_train_step,
+)
 from mmssl_tpu.utils.logging import MetricLogger
 
 
@@ -88,6 +95,7 @@ class Trainer:
         self.ds = dataset if dataset is not None else load_dataset(cfg.data)
         self.logger = logger or MetricLogger(name=f"{cfg.model.name}-{cfg.data.dataset}")
         self.sampler = NegativeSampler(self.ds, cfg.data.batch_size, seed=cfg.train.seed)
+        self.sampler_consts = make_device_sampler_consts(self.ds)
         self.evaluator = Evaluator(self.ds, cfg.eval)
         self.n_batch = self.ds.n_train // cfg.data.batch_size + 1
         self.feats = {m: jnp.asarray(f) for m, f in self.ds.feats.items()}
@@ -281,6 +289,24 @@ class Trainer:
             )
         return metrics
 
+    def train_chunk(self, start_idx: int, n_steps: int) -> jnp.ndarray:
+        """``n_steps`` optimization steps as ONE device dispatch (lax.scan
+        with on-device sampling, steps_*.py); returns stacked metrics
+        [n_steps, len(metric_keys)] without forcing a host sync."""
+        self.fault_injector.maybe_fail("train_batch/sample")
+        if self.is_mmssl:
+            self.state, metrics = mmssl_train_epoch(
+                self.state, self.consts, self.sampler_consts,
+                jnp.asarray(start_idx, jnp.int32), n_steps,
+                self.cfg, self.g_opt, self.d_opt, self.ds.n_users, self.ds.n_items,
+            )
+        else:
+            self.state, metrics = simple_train_epoch(
+                self.state, self.consts, self.sampler_consts,
+                n_steps, self.ds.n_items, self.cfg, self.opt, sparse=True,
+            )
+        return metrics
+
     def eval_embeddings(self):
         """Eval-mode forward producing (user_emb, item_emb) on device."""
         cfg = self.cfg
@@ -335,12 +361,31 @@ class Trainer:
             # batches bounds the dispatch queue, one array fetch per epoch
             # materializes the sums (per-scalar fetches cost a full relay
             # roundtrip each on the axon backend).
-            metric_list = []
-            for idx in range(self.n_batch):
-                metric_list.append(self.train_batch(idx))
+            metric_rows = []
+            idx = 0
+            # Fused-scan path: whole chunks of the epoch run as single
+            # dispatches with on-device sampling (zero per-step host traffic;
+            # each roundtrip costs ~40 ms on a relay-attached TPU).  The
+            # LATTICE/MICRO first batch must rebuild the learned item graph
+            # (build_item_graph=True is a different compiled program), and
+            # the sharded (mesh) path keeps per-batch dispatches for now.
+            spd = cfg.train.steps_per_dispatch if self.mesh is None else 0
+            if spd > 0:
+                if cfg.model.name in ("lattice", "micro"):
+                    metric_rows.append(self.train_batch(0)[None])
+                    idx = 1
+                while self.n_batch - idx >= spd:
+                    m = self.train_chunk(idx, spd)
+                    metric_rows.append(m)
+                    float(m[-1, 0])  # sync: bound the dispatch queue
+                    idx += spd
+            # Tail (and the spd == 0 path): per-batch dispatches.
+            while idx < self.n_batch:
+                metric_rows.append(self.train_batch(idx)[None])
                 if (idx + 1) % sync_every == 0:
-                    float(metric_list[-1][0])
-            totals = np.asarray(jnp.sum(jnp.stack(metric_list), axis=0))
+                    float(metric_rows[-1][-1, 0])
+                idx += 1
+            totals = np.asarray(jnp.sum(jnp.concatenate(metric_rows, axis=0), axis=0))
             sums = dict(zip(self.metric_keys, (float(x) for x in totals)))
             train_t = time.time() - t0
             if math.isnan(sums.get("loss", 0.0)):
