@@ -39,7 +39,7 @@ N_USERS, N_ITEMS = 19_445, 7_050
 BATCH = 1024
 FEAT_DIMS = {"image": 4096, "text": 1024}
 WARMUP_STEPS = 2
-TIMED_STEPS = 16
+TIMED_STEPS = 64
 
 
 def log(msg: str) -> None:
@@ -86,29 +86,28 @@ def main() -> None:
         ds.feats[m] = jax.random.normal(jax.random.fold_in(key, i), (ds.n_items, dim), jnp.float32)
     tr = Trainer(cfg, dataset=ds, logger=MetricLogger(quiet=True))
 
-    # Sync by FETCHING a scalar each step: on the axon relay backend,
-    # jax.block_until_ready is a no-op and letting unsynced donated-state
-    # steps queue up degrades catastrophically (measured 360 s for 10 queued
-    # steps vs 110 ms/step when synced).  A scalar fetch per step is also
-    # exactly what the Trainer's epoch loop does.
+    # Production path: whole chunks of the epoch run as ONE lax.scan device
+    # program with on-device sampling (train_chunk / steps_per_dispatch); the
+    # host fetches one packed metrics array per chunk.  Sync by FETCHING (on
+    # the axon relay backend jax.block_until_ready is a no-op, and letting
+    # unsynced donated-state dispatches queue up degrades catastrophically).
+    spd = max(cfg.train.steps_per_dispatch, 1)
     t0 = time.time()
-    for i in range(WARMUP_STEPS):
-        loss = float(tr.train_batch(i)[0])
-    log(f"bench: warmup ({WARMUP_STEPS} steps incl. compile) {time.time() - t0:.1f}s")
+    m = tr.train_chunk(0, spd)
+    loss = float(np.asarray(m)[-1, 0])
+    log(f"bench: warmup ({spd}-step fused chunk incl. compile) {time.time() - t0:.1f}s")
 
-    # Timed section uses the trainer's production sync discipline
-    # (fetch one scalar every cfg.train.sync_every batches).
-    sync_every = max(cfg.train.sync_every, 1)
+    n_chunks = max(TIMED_STEPS // spd, 1)
     t0 = time.time()
-    for i in range(WARMUP_STEPS, WARMUP_STEPS + TIMED_STEPS):
-        m = tr.train_batch(i)
-        if (i + 1) % sync_every == 0:
-            loss = float(m[0])
-    loss = float(m[0])
+    for c in range(n_chunks):
+        m = tr.train_chunk((c + 1) * spd, spd)
+        loss = float(np.asarray(m)[-1, 0])
     dt = time.time() - t0
-    step_time = dt / TIMED_STEPS
+    steps = n_chunks * spd
+    step_time = dt / steps
     throughput = BATCH / step_time
-    log(f"bench: {TIMED_STEPS} steps in {dt:.2f}s -> {step_time*1000:.1f} ms/step, loss={loss:.4f}")
+    log(f"bench: {steps} steps ({n_chunks} fused chunks) in {dt:.2f}s -> "
+        f"{step_time*1000:.1f} ms/step, loss={loss:.4f}")
 
     print(json.dumps({
         "metric": "train_examples_per_sec",

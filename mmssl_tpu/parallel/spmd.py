@@ -34,6 +34,7 @@ from mmssl_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from mmssl_tpu.train.steps_mmssl import (
     MMSSLConsts,
     MMSSLTrainState,
+    mmssl_train_epoch_impl,
     mmssl_train_step_impl,
 )
 
@@ -109,6 +110,48 @@ def make_sharded_mmssl_step(
         donate_argnums=(0,),
     )
     return step, jax.device_put(state, state_sh), jax.device_put(consts, consts_sh)
+
+
+def make_sharded_mmssl_epoch(
+    mesh: Mesh,
+    cfg: ExperimentConfig,
+    g_opt: optax.GradientTransformation,
+    d_opt: optax.GradientTransformation,
+    n_users: int,
+    n_items: int,
+    state: MMSSLTrainState,
+    consts: MMSSLConsts,
+    sampler_consts,
+):
+    """Fused-chunk variant of the sharded step: ``n_steps`` train steps as
+    one scanned device program with on-device sampling (zero per-step host
+    traffic — see steps_mmssl.mmssl_train_epoch).  State shardings match
+    make_sharded_mmssl_step so the two programs interoperate on the same
+    buffers.  Returns (epoch_fn, sharded_sampler_consts);
+    epoch_fn(state, consts, sampler, start_idx, n_steps=K).
+    """
+    state_sh = tree_shardings(mesh, state)
+    consts_sh = tree_shardings(mesh, consts)
+    # Sampler tables are small (int32, n_users x max_deg); replicate so the
+    # scan's gathers stay local.
+    sampler_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()), sampler_consts)
+    scalar_sh = NamedSharding(mesh, P())
+
+    epoch = jax.jit(
+        partial(
+            mmssl_train_epoch_impl,
+            cfg=cfg,
+            g_opt=g_opt,
+            d_opt=d_opt,
+            n_users=n_users,
+            n_items=n_items,
+        ),
+        static_argnums=(4,),  # n_steps (pjit forbids kwargs with in_shardings)
+        in_shardings=(state_sh, consts_sh, sampler_sh, scalar_sh),
+        out_shardings=(state_sh, scalar_sh),
+        donate_argnums=(0,),
+    )
+    return epoch, jax.device_put(sampler_consts, sampler_sh)
 
 
 def sharded_eval_scores(mesh: Mesh):

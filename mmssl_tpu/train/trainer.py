@@ -186,8 +186,12 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
         )
         self._sharded_step = None
+        self._sharded_epoch = None
         if self.mesh is not None:
-            from mmssl_tpu.parallel.spmd import make_sharded_mmssl_step
+            from mmssl_tpu.parallel.spmd import (
+                make_sharded_mmssl_epoch,
+                make_sharded_mmssl_step,
+            )
 
             assert self.cfg.data.batch_size % self.mesh.shape["data"] == 0, (
                 "batch size must divide the mesh data axis"
@@ -195,6 +199,11 @@ class Trainer:
             self._sharded_step, self.state, self.consts = make_sharded_mmssl_step(
                 self.mesh, self.cfg, self.g_opt, self.d_opt,
                 self.ds.n_users, self.ds.n_items, self.state, self.consts,
+            )
+            self._sharded_epoch, self.sampler_consts = make_sharded_mmssl_epoch(
+                self.mesh, self.cfg, self.g_opt, self.d_opt,
+                self.ds.n_users, self.ds.n_items, self.state, self.consts,
+                self.sampler_consts,
             )
 
     def _build_simple(self) -> None:
@@ -295,11 +304,17 @@ class Trainer:
         [n_steps, len(metric_keys)] without forcing a host sync."""
         self.fault_injector.maybe_fail("train_batch/sample")
         if self.is_mmssl:
-            self.state, metrics = mmssl_train_epoch(
-                self.state, self.consts, self.sampler_consts,
-                jnp.asarray(start_idx, jnp.int32), n_steps,
-                self.cfg, self.g_opt, self.d_opt, self.ds.n_users, self.ds.n_items,
-            )
+            if self._sharded_epoch is not None:
+                self.state, metrics = self._sharded_epoch(
+                    self.state, self.consts, self.sampler_consts,
+                    jnp.asarray(start_idx, jnp.int32), n_steps,
+                )
+            else:
+                self.state, metrics = mmssl_train_epoch(
+                    self.state, self.consts, self.sampler_consts,
+                    jnp.asarray(start_idx, jnp.int32), n_steps,
+                    self.cfg, self.g_opt, self.d_opt, self.ds.n_users, self.ds.n_items,
+                )
         else:
             self.state, metrics = simple_train_epoch(
                 self.state, self.consts, self.sampler_consts,
@@ -367,9 +382,13 @@ class Trainer:
             # dispatches with on-device sampling (zero per-step host traffic;
             # each roundtrip costs ~40 ms on a relay-attached TPU).  The
             # LATTICE/MICRO first batch must rebuild the learned item graph
-            # (build_item_graph=True is a different compiled program), and
-            # the sharded (mesh) path keeps per-batch dispatches for now.
-            spd = cfg.train.steps_per_dispatch if self.mesh is None else 0
+            # (build_item_graph=True is a different compiled program).  The
+            # mesh path fuses for MMSSL (make_sharded_mmssl_epoch); the
+            # simple models are not mesh-sharded, so they fall back to
+            # per-batch dispatches under a mesh.
+            spd = cfg.train.steps_per_dispatch
+            if self.mesh is not None and not self.is_mmssl:
+                spd = 0
             if spd > 0:
                 if cfg.model.name in ("lattice", "micro"):
                     metric_rows.append(self.train_batch(0)[None])

@@ -28,6 +28,30 @@ def test_mmssl_trainer_on_mesh(tiny_dataset):
     assert "recall" in res.test_metrics
 
 
+def test_mmssl_mesh_fused_epoch(tiny_dataset):
+    """The fused lax.scan chunk path (make_sharded_mmssl_epoch) interops
+    with the per-batch sharded step on the same state buffers."""
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    cfg = preset("tiny", "mmssl", **{
+        "data.batch_size": 16,
+        "model.embed_size": 16,
+        "train.m_topk_rate": 0.1,
+        "train.densify_period": 2,
+        "train.steps_per_dispatch": 2,
+        "eval.ks": (3, 5, 10),
+    })
+    tr = Trainer(cfg, dataset=tiny_dataset, logger=MetricLogger(quiet=True), mesh=mesh)
+    tr.train_batch(0)  # per-batch sharded step
+    step0 = int(tr.state.step)
+    m = np.asarray(tr.train_chunk(1, 3))  # fused sharded chunk
+    assert m.shape == (3, len(tr.metric_keys))
+    assert np.isfinite(m).all()
+    assert int(tr.state.step) == step0 + 3
+    res = tr.fit(epochs=2)  # epoch loop mixes both programs
+    assert res.epochs_run == 2
+    assert np.isfinite(res.best_val_recall)
+
+
 def test_mesh_batch_divisibility(tiny_dataset):
     mesh = make_mesh(8, mesh_shape=(8, 1))
     cfg = preset("tiny", "mmssl", **{"data.batch_size": 12})  # 12 % 8 != 0
