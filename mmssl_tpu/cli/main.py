@@ -100,10 +100,17 @@ def _configure_jax(platform: str) -> None:
     import jax
 
     # Persistent compilation cache: remote TPU compiles through the axon
-    # relay are slow (minutes for the big train steps); cache them.
-    cache = os.environ.get("MMSSL_TPU_JAX_CACHE", os.path.expanduser("~/.cache/mmssl_tpu_jax"))
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # relay are slow (minutes for the big train steps); cache them.  CPU
+    # runs must NOT use it: XLA:CPU serializes AOT code specialized to the
+    # build host's machine features, and loading an entry whose features
+    # mismatch the current host is a hard abort (observed: a cached
+    # +prefer-no-scatter entry killing the whole process) — and CPU
+    # compiles are fast anyway.
+    on_cpu = platform == "cpu" or "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+    if not on_cpu:
+        cache = os.environ.get("MMSSL_TPU_JAX_CACHE", os.path.expanduser("~/.cache/mmssl_tpu_jax"))
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     if platform != "default":
         # Must win over the container sitecustomize pinning the TPU plugin.
         jax.config.update("jax_platforms", platform)

@@ -100,6 +100,13 @@ class ModelConfig:
     # Discriminator (MMSSL/Models.py:224-245).
     g_drop1: float = 0.31  # parser.py:84
     g_drop2: float = 0.5  # parser.py:85
+    # Graph propagation backend.  'coo' = padded-COO segment-sum SpMM (exact,
+    # the parity default).  'dense' = materialized adjacency bf16/f32 MXU
+    # matmuls — on TPU the COO scatters dominate the MMSSL step (~1.2 ms
+    # each, dozens per step at Baby scale) while the equivalent dense matmul
+    # takes ~0.35 ms; at <=0.1% graph sparsity the extra FLOPs are free.
+    graph_impl: str = "coo"  # coo | dense
+    graph_dtype: str = "bfloat16"  # dense-mode storage dtype: bfloat16 | float32
 
 
 @dataclass(frozen=True)

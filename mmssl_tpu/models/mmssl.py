@@ -32,7 +32,7 @@ with zero bias (``weights_init``, MMSSL/main.py:135-138).
 from __future__ import annotations
 
 import math
-from typing import Dict, Mapping, NamedTuple, Optional, Tuple
+from typing import Any, Dict, Mapping, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,12 +58,21 @@ class BipartiteGraphs(NamedTuple):
     ``ui``/``iu`` are the (static) normalized interaction graphs; ``mod_ui``/
     ``mod_iu`` are the per-modality densified graphs that start equal to
     ui/iu (MMSSL/main.py:68-69) and are rebuilt during training.
+
+    ``use_init`` (bool scalar, optional): when set, the modality-ID
+    propagation reads ui/iu until the first densification rebuild instead of
+    per-modality copies.  This lets the densified graphs carry only
+    ``T*B*k`` capacity (their true post-rebuild size, often 100-1000x
+    smaller than the interaction nnz) — the per-entry-latency-bound
+    segment-sum scatters then cost proportionally less.  When None the mod
+    graphs are used directly (parity-test construction).
     """
 
-    ui: SparseGraph  # [n_users, n_items]
-    iu: SparseGraph  # [n_items, n_users]
-    mod_ui: Dict[str, SparseGraph]
-    mod_iu: Dict[str, SparseGraph]
+    ui: Any  # SparseGraph | DenseGraph, [n_users, n_items]
+    iu: Any  # SparseGraph | DenseGraph, [n_items, n_users]
+    mod_ui: Dict[str, Any]  # densified per-modality graphs (same union)
+    mod_iu: Dict[str, Any]
+    use_init: Optional[jnp.ndarray] = None  # bool scalar
 
 
 class MMSSLOutput(NamedTuple):
@@ -145,18 +154,25 @@ class MMSSLDeterministic(NamedTuple):
     mm_item_id: Dict[str, jnp.ndarray]
 
 
-def mmssl_deterministic_branch(
+def _id_attention_base(
     params: dict,
     graphs: BipartiteGraphs,
     cfg: ModelConfig,
     parity: ParityConfig,
     modalities: Tuple[str, ...],
-) -> MMSSLDeterministic:
-    """Steps 2b-5 of the forward (Models.py:179-214): modality-ID propagation
-    over the densified graphs, attention fusion, residual into the ID tables,
-    LightGCN stack with quirk Q3."""
-    mm_user_id = {m: graphs.mod_ui[m].spmm(params["item_emb"]) for m in modalities}
-    mm_item_id = {m: graphs.mod_iu[m].spmm(params["user_emb"]) for m in modalities}
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Modality-ID propagation over the densified graphs + attention fusion +
+    residual into the ID tables (Models.py:179-197).  Returns (u_g, i_g,
+    mm_user_id, mm_item_id)."""
+    def _mod_spmm(g_small, g_init, x):
+        if graphs.use_init is None:
+            return g_small.spmm(x)
+        return jax.lax.cond(
+            graphs.use_init, lambda: g_init.spmm(x), lambda: g_small.spmm(x)
+        )
+
+    mm_user_id = {m: _mod_spmm(graphs.mod_ui[m], graphs.ui, params["item_emb"]) for m in modalities}
+    mm_item_id = {m: _mod_spmm(graphs.mod_iu[m], graphs.iu, params["user_emb"]) for m in modalities}
 
     user_stack = jnp.stack([mm_user_id[m] for m in modalities], axis=0)
     item_stack = jnp.stack([mm_item_id[m] for m in modalities], axis=0)
@@ -167,6 +183,20 @@ def mmssl_deterministic_branch(
 
     u_g = params["user_emb"] + cfg.id_cat_rate * l2_normalize(user_fused, axis=1)
     i_g = params["item_emb"] + cfg.id_cat_rate * l2_normalize(item_fused, axis=1)
+    return u_g, i_g, mm_user_id, mm_item_id
+
+
+def mmssl_deterministic_branch(
+    params: dict,
+    graphs: BipartiteGraphs,
+    cfg: ModelConfig,
+    parity: ParityConfig,
+    modalities: Tuple[str, ...],
+) -> MMSSLDeterministic:
+    """Steps 2b-5 of the forward (Models.py:179-214): modality-ID propagation
+    over the densified graphs, attention fusion, residual into the ID tables,
+    LightGCN stack with quirk Q3."""
+    u_g, i_g, mm_user_id, mm_item_id = _id_attention_base(params, graphs, cfg, parity, modalities)
 
     user_acc, item_acc = u_g, i_g
     i_cur = i_g
@@ -189,6 +219,25 @@ def mmssl_deterministic_branch(
     )
 
 
+def _project_modalities(
+    params: dict,
+    feats: Mapping[str, jnp.ndarray],
+    cfg: ModelConfig,
+    train: bool,
+    rng: Optional[jax.Array],
+) -> jnp.ndarray:
+    """Per-modality projector + dropout (Models.py:173-174), concatenated to
+    [n_items, M*d].  Dropout keys are drawn per modality in sorted order."""
+    projs = []
+    for m in sorted(feats):
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = None
+        projs.append(dropout(sub, linear(params["proj"][m], feats[m]), cfg.drop_rate, train))
+    return jnp.concatenate(projs, axis=1)
+
+
 def mmssl_modality_feats(
     params: dict,
     graphs: BipartiteGraphs,
@@ -204,19 +253,104 @@ def mmssl_modality_feats(
     costs almost nothing while cutting the scatter count M-fold."""
     modalities = sorted(feats)
     d = cfg.embed_size
-    projs = []
-    for m in modalities:
-        if rng is not None:
-            rng, sub = jax.random.split(rng)
-        else:
-            sub = None
-        projs.append(dropout(sub, linear(params["proj"][m], feats[m]), cfg.drop_rate, train))
-    stacked = jnp.concatenate(projs, axis=1)  # [n_items, M*d]
+    stacked = _project_modalities(params, feats, cfg, train, rng)  # [n_items, M*d]
     user_wide = graphs.ui.spmm(stacked)
     item_wide = graphs.iu.spmm(user_wide)
     mm_user_feats = {m: user_wide[:, i * d : (i + 1) * d] for i, m in enumerate(modalities)}
     mm_item_feats = {m: item_wide[:, i * d : (i + 1) * d] for i, m in enumerate(modalities)}
     return mm_user_feats, mm_item_feats
+
+
+class MMSSLFusedOut(NamedTuple):
+    """One-shot forward outputs for the adversarial train step: the shared
+    deterministic branch plus TWO independent dropout draws of the modality
+    branch (the reference runs two full forwards per batch, main.py:339/363;
+    their dropout-free parts are equal by determinism and their modality
+    propagations differ only in the dropout mask)."""
+
+    user_base: jnp.ndarray
+    item_base: jnp.ndarray
+    mm_user_id: Dict[str, jnp.ndarray]
+    mm_item_id: Dict[str, jnp.ndarray]
+    d_user_feats: Dict[str, jnp.ndarray]  # D-step draw
+    d_item_feats: Dict[str, jnp.ndarray]
+    g_user_feats: Dict[str, jnp.ndarray]  # G-step draw
+    g_item_feats: Dict[str, jnp.ndarray]
+
+    def det(self) -> MMSSLDeterministic:
+        return MMSSLDeterministic(
+            user_base=self.user_base, item_base=self.item_base,
+            mm_user_id=self.mm_user_id, mm_item_id=self.mm_item_id,
+        )
+
+
+def mmssl_fused_forward(
+    params: dict,
+    graphs: BipartiteGraphs,
+    feats: Mapping[str, jnp.ndarray],
+    cfg: ModelConfig,
+    parity: ParityConfig,
+    rng_d: jax.Array,
+    rng_g: jax.Array,
+    train: bool = True,
+) -> MMSSLFusedOut:
+    """Both per-batch forwards (D-step + G-step) as ONE propagation pass.
+
+    The segment-sum scatters that implement SpMM on TPU are latency-bound
+    per nnz entry, nearly independent of the operand width — so the two
+    modality stacks (2 draws x M modalities x d) ride the SAME ui/iu
+    scatters as the first LightGCN layer, concatenated along features and
+    sliced back out.  Per-column-block segment sums are independent, so
+    numerics are identical to separate propagation.  SpMM count per step
+    drops from 8 wide scatters (2 draws x 2 directions + 2 layers x 2) to 4.
+    """
+    assert cfg.n_ui_layers >= 1, "fused forward piggybacks on GCN layer 1"
+    modalities = tuple(sorted(feats))
+    d = cfg.embed_size
+    Md = len(modalities) * d
+    u_g, i_g, mm_user_id, mm_item_id = _id_attention_base(params, graphs, cfg, parity, modalities)
+
+    stacked_d = _project_modalities(params, feats, cfg, train, rng_d)  # [n_items, Md]
+    stacked_g = _project_modalities(params, feats, cfg, train, rng_g)
+
+    user_acc, item_acc = u_g, i_g
+    i_cur = i_g
+    uw_d = uw_g = iw_d = iw_g = None
+    for layer in range(cfg.n_ui_layers):
+        last = layer == cfg.n_ui_layers - 1
+        if layer == 0:
+            wide_u = graphs.ui.spmm(jnp.concatenate([i_cur, stacked_d, stacked_g], axis=1))
+            u_nxt, uw_d, uw_g = wide_u[:, :d], wide_u[:, d : d + Md], wide_u[:, d + Md :]
+            if last and parity.softmax_last_gcn_layer:
+                u_nxt = jax.nn.softmax(u_nxt, axis=-1)
+            wide_i = graphs.iu.spmm(jnp.concatenate([u_nxt, uw_d, uw_g], axis=1))
+            i_nxt, iw_d, iw_g = wide_i[:, :d], wide_i[:, d : d + Md], wide_i[:, d + Md :]
+            if last and parity.softmax_last_gcn_layer:
+                i_nxt = jax.nn.softmax(i_nxt, axis=-1)
+        else:
+            u_nxt = graphs.ui.spmm(i_cur)
+            if last and parity.softmax_last_gcn_layer:
+                u_nxt = jax.nn.softmax(u_nxt, axis=-1)
+            i_nxt = graphs.iu.spmm(u_nxt)
+            if last and parity.softmax_last_gcn_layer:
+                i_nxt = jax.nn.softmax(i_nxt, axis=-1)
+        user_acc = user_acc + u_nxt
+        item_acc = item_acc + i_nxt
+        i_cur = i_nxt
+
+    def _split(wide):
+        return {m: wide[:, i * d : (i + 1) * d] for i, m in enumerate(modalities)}
+
+    return MMSSLFusedOut(
+        user_base=user_acc / (cfg.n_ui_layers + 1),
+        item_base=item_acc / (cfg.n_ui_layers + 1),
+        mm_user_id=mm_user_id,
+        mm_item_id=mm_item_id,
+        d_user_feats=_split(uw_d),
+        d_item_feats=_split(iw_d),
+        g_user_feats=_split(uw_g),
+        g_item_feats=_split(iw_g),
+    )
 
 
 def mmssl_combine(

@@ -226,3 +226,85 @@ def device_row_norm_inv_sqrt(
 
 def scipy_to_dense(mat: sp.spmatrix) -> jnp.ndarray:
     return jnp.asarray(np.asarray(sp.csr_matrix(mat).todense(), dtype=np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Dense propagation mode (MXU path)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DenseGraph:
+    """Materialized adjacency for MXU-matmul propagation.
+
+    TPU profile of the MMSSL step shows the COO ``segment_sum`` scatters
+    dominating device time (~1.2 ms each at Amazon-Baby scale, dozens per
+    step): irregular scatters serialize on TPU, while a dense [n_rows,
+    n_cols] bf16 matmul of the same graph reads ~274 MB and rides the MXU in
+    ~0.35 ms.  At <=0.1% sparsity the redundant FLOPs are free relative to
+    scatter latency.  bf16 storage halves HBM traffic; accumulation stays
+    f32 (``preferred_element_type``).  Enabled via
+    ``ModelConfig.graph_impl='dense'`` (COO stays the parity default).
+    """
+
+    mat: jnp.ndarray  # [n_rows, n_cols], bf16 (default) or f32
+
+    def tree_flatten(self):
+        return (self.mat,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(mat=leaves[0])
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return tuple(self.mat.shape)
+
+    @property
+    def n_rows(self) -> int:
+        return self.mat.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.mat.shape[1]
+
+    def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.matmul(
+            self.mat, x.astype(self.mat.dtype), preferred_element_type=jnp.float32
+        )
+
+
+def dense_from_coo(
+    rows: jnp.ndarray,
+    cols: jnp.ndarray,
+    vals: jnp.ndarray,
+    shape: Tuple[int, int],
+    dtype=jnp.bfloat16,
+) -> DenseGraph:
+    """Scatter a padded COO into a DenseGraph (duplicates sum, padding rows
+    == n_rows dropped).  The f32 scatter-add happens once per build/rebuild
+    and is amortized over every subsequent matmul."""
+    mat = jnp.zeros(shape, jnp.float32).at[rows, cols].add(vals, mode="drop")
+    return DenseGraph(mat=mat.astype(dtype))
+
+
+def sparse_to_dense_graph(g: SparseGraph, dtype=jnp.bfloat16) -> DenseGraph:
+    return dense_from_coo(g.rows, g.cols, g.vals, g.shape, dtype)
+
+
+def device_row_norm_inv_sqrt_dense(
+    rows: jnp.ndarray,
+    cols: jnp.ndarray,
+    valid: jnp.ndarray,
+    shape: Tuple[int, int],
+    dtype=jnp.bfloat16,
+) -> DenseGraph:
+    """Dense-mode equivalent of :func:`device_row_norm_inv_sqrt` (same
+    normalization math; one scatter per rebuild instead of one per spmm)."""
+    n_rows = shape[0]
+    ones = valid.astype(jnp.float32)
+    safe_rows = jnp.where(valid, rows, n_rows)
+    deg = jax.ops.segment_sum(ones, safe_rows, num_segments=n_rows)
+    scale = jnp.power(deg + 1e-8, -0.5)
+    vals = jnp.where(valid, scale[jnp.clip(rows, 0, n_rows - 1)], 0.0)
+    return dense_from_coo(safe_rows, jnp.where(valid, cols, 0), vals, shape, dtype)

@@ -50,7 +50,11 @@ def _sharding_for_leaf(mesh: Mesh, path: Tuple, leaf: Any) -> NamedSharding:
     def rows_divisible() -> bool:
         return ndim >= 2 and leaf.shape[0] % model_size == 0
 
-    row_sharded_markers = ("user_emb", "item_emb", "feats", "train_pad")
+    # "ui"/"iu" cover DenseGraph.mat leaves (paths like "ui/0",
+    # "mod_ui/image/0"): [n_users|n_items, n_cols] adjacencies row-sharded
+    # over the catalog axis.  SparseGraph COO leaves under the same paths are
+    # 1-D and fall through to replication.
+    row_sharded_markers = ("user_emb", "item_emb", "feats", "train_pad", "ui", "iu")
     if any(m in joined for m in row_sharded_markers) and rows_divisible():
         return NamedSharding(mesh, P(MODEL_AXIS, *([None] * (ndim - 1))))
     # Discriminator tower: l1 [n_items, n/4] and l2 [n/4, n/8] row-sharded

@@ -18,8 +18,13 @@ single jit:
      here — we never leave HBM).  Quirk Q5 (T=1 makes rebuilds see empty
      buffers from idx>=2) falls out of the same cadence logic.
 
-All shapes are static: graph/buffer capacity C = max(initial nnz padding,
-T * B * k) shared by the initial normalized graphs and every rebuild.
+All shapes are static: densified graph/buffer capacity C = T * B * k (the
+most entries a rebuild can see).  Until the first rebuild the modality-ID
+propagation reads consts.ui/iu (state.use_init; the reference initializes
+image/text_ui_graph to the normalized interaction graph, main.py:68-69), so
+the carried graphs never need interaction-nnz capacity — at the default
+m_topk_rate the post-rebuild graphs hold <=128 padded entries vs ~107k
+interaction nnz, and the per-entry-latency-bound scatters shrink to match.
 """
 
 from __future__ import annotations
@@ -44,9 +49,14 @@ from mmssl_tpu.models.mmssl import (
     apply_mmssl,
     mmssl_combine,
     mmssl_deterministic_branch,
+    mmssl_fused_forward,
     mmssl_modality_feats,
 )
-from mmssl_tpu.ops.sparse import SparseGraph, device_row_norm_inv_sqrt
+from mmssl_tpu.ops.sparse import (
+    SparseGraph,
+    device_row_norm_inv_sqrt,
+    device_row_norm_inv_sqrt_dense,
+)
 
 
 MMSSL_METRIC_KEYS = ("loss", "loss_d", "mf_loss", "emb_loss", "feat_reg", "cl_loss", "g_lossf")
@@ -56,8 +66,8 @@ class MMSSLConsts(NamedTuple):
     """Per-run constants passed to every step (device-resident)."""
 
     feats: Dict[str, jnp.ndarray]  # modality -> [n_items, feat_dim]
-    ui: SparseGraph  # normalized u-i graph
-    iu: SparseGraph
+    ui: object  # normalized u-i graph (SparseGraph | DenseGraph)
+    iu: object
     train_pad: jnp.ndarray  # int32 [n_users, max_deg], -1 pad
 
 
@@ -66,11 +76,16 @@ class MMSSLTrainState(NamedTuple):
     d_params: dict
     opt_state: optax.OptState
     d_opt_state: optax.OptState
-    mod_ui: Dict[str, SparseGraph]  # densified graphs, capacity C
-    mod_iu: Dict[str, SparseGraph]
+    mod_ui: Dict[str, object]  # densified graphs (SparseGraph cap C | DenseGraph)
+    mod_iu: Dict[str, object]
     buf_rows: Dict[str, jnp.ndarray]  # int32 [C] accumulated user ids
     buf_cols: Dict[str, jnp.ndarray]  # int32 [C] accumulated item ids
     buf_count: Dict[str, jnp.ndarray]  # int32 scalar
+    # True until the first densification rebuild: the modality-ID propagation
+    # reads consts.ui/iu (the reference initializes image/text_ui_graph to
+    # the normalized interaction graph, MMSSL/main.py:68-69) so mod_ui/mod_iu
+    # can stay at T*B*k capacity.
+    use_init: jnp.ndarray  # bool scalar
     rng: jax.Array
     step: jnp.ndarray  # int32
 
@@ -81,10 +96,16 @@ def densify_topk(cfg: ExperimentConfig, n_items: int) -> int:
     return int(n_items * cfg.train.m_topk_rate)
 
 
-def graph_capacity(cfg: ExperimentConfig, n_items: int, init_nnz: int) -> int:
+def graph_capacity(cfg: ExperimentConfig, n_items: int) -> int:
+    """Capacity of the densified-graph COO buffers: the most entries a
+    rebuild can see is T batches of B users x k items (main.py:399-405).
+    The initial modality graphs (= ui/iu, MMSSL/main.py:68-69) are NOT
+    stored at this capacity — the step reads consts.ui/iu until the first
+    rebuild (state.use_init), so the buffers stay at their true post-rebuild
+    size instead of the interaction nnz."""
     k = densify_topk(cfg, n_items)
     t = max(cfg.train.densify_period, 1)
-    cap = max(init_nnz, t * cfg.data.batch_size * k, 1)
+    cap = max(t * cfg.data.batch_size * k, 1)
     return ((cap + 127) // 128) * 128
 
 
@@ -167,8 +188,15 @@ def _accumulate_or_rebuild(
 
         def rebuild(rows=rows, cols=cols, cnt=cnt, m=m):
             valid = jnp.arange(cap) < cnt
-            g_ui = device_row_norm_inv_sqrt(rows, cols, valid, (n_users, n_items))
-            g_iu = device_row_norm_inv_sqrt(cols, rows, valid, (n_items, n_users))
+            if cfg.model.graph_impl == "dense":
+                gdtype = (
+                    jnp.bfloat16 if cfg.model.graph_dtype == "bfloat16" else jnp.float32
+                )
+                g_ui = device_row_norm_inv_sqrt_dense(rows, cols, valid, (n_users, n_items), gdtype)
+                g_iu = device_row_norm_inv_sqrt_dense(cols, rows, valid, (n_items, n_users), gdtype)
+            else:
+                g_ui = device_row_norm_inv_sqrt(rows, cols, valid, (n_users, n_items))
+                g_iu = device_row_norm_inv_sqrt(cols, rows, valid, (n_items, n_users))
             return g_ui, g_iu, rows, cols, jnp.zeros((), jnp.int32)
 
         def accumulate(rows=rows, cols=cols, cnt=cnt, m=m):
@@ -206,23 +234,27 @@ def mmssl_train_step_impl(
     modalities = sorted(consts.feats)
     rng, r_fwd0, r_gum, r_df, r_dr, r_gp, r_gfwd, r_gd = jax.random.split(state.rng, 8)
 
-    graphs = BipartiteGraphs(ui=consts.ui, iu=consts.iu, mod_ui=state.mod_ui, mod_iu=state.mod_iu)
+    graphs = BipartiteGraphs(
+        ui=consts.ui, iu=consts.iu, mod_ui=state.mod_ui, mod_iu=state.mod_iu,
+        use_init=state.use_init,
+    )
     u_ui = interaction_rows(consts.train_pad, users, n_items)
 
-    # The dropout-free branch (ID propagation + attention + GCN) is identical
-    # between the D-step and G-step forwards of one batch (the reference
-    # recomputes it, main.py:339/363; the values are equal by determinism).
-    # Compute it ONCE via an explicit VJP: the D step consumes the primals,
-    # the G step pulls its gradients back through det_vjp.  The expensive
-    # segment-sum scatters in this branch thus run once per step.
-    det_fn = lambda p: mmssl_deterministic_branch(p, graphs, cfg.model, cfg.parity, tuple(modalities))
-    det, det_vjp = jax.vjp(det_fn, state.params)
+    # ONE fused propagation pass for both per-batch forwards (the reference
+    # runs two, main.py:339/363: a no-grad forward for the D step and a full
+    # forward for the G step; their dropout-free parts are equal by
+    # determinism and the modality branches differ only in the dropout
+    # draw).  The G step pulls its gradients back through fwd_vjp; the D
+    # step consumes the primals as constants.
+    fwd_fn = lambda p: mmssl_fused_forward(
+        p, graphs, consts.feats, cfg.model, cfg.parity, r_fwd0, r_gfwd, train=True
+    )
+    out, fwd_vjp = jax.vjp(fwd_fn, state.params)
 
     # ---- discriminator step (generator frozen, main.py:339-361) ----
-    featsD_u, featsD_i = mmssl_modality_feats(state.params, graphs, consts.feats, cfg.model, True, r_fwd0)
-    uaD, iaD = mmssl_combine(det, featsD_u, featsD_i, cfg.model)
+    uaD, iaD = mmssl_combine(out.det(), out.d_user_feats, out.d_item_feats, cfg.model)
     ui_sim = u_sim(uaD[users], iaD, u_ui)
-    fake_sims = [u_sim(featsD_u[m][users], featsD_i[m], u_ui) for m in modalities]
+    fake_sims = [u_sim(out.d_user_feats[m][users], out.d_item_feats[m], u_ui) for m in modalities]
     inputf = jnp.concatenate(fake_sims, axis=0)  # [M*B, n_items]
     real = gumbel_soften_rows(u_ui, ui_sim, r_gum, cfg)
     inputr = jnp.concatenate([real] * len(modalities), axis=0)
@@ -240,9 +272,13 @@ def mmssl_train_step_impl(
     d_params = optax.apply_updates(state.d_params, d_updates)
 
     # ---- generator step against updated D (main.py:363-429) ----
-    def g_loss_fn(params, det_in):
-        fu, fi = mmssl_modality_feats(params, graphs, consts.feats, cfg.model, True, r_gfwd)
-        ua, ia = mmssl_combine(det_in, fu, fi, cfg.model)
+    # The generator loss is a pure function of the forward outputs (every
+    # parameter dependency flows through them), so its parameter gradient is
+    # one cotangent pull through fwd_vjp; the D-draw outputs receive zero
+    # cotangents.
+    def g_loss_fn(o: "MMSSLFusedOut"):
+        fu, fi = o.g_user_feats, o.g_item_feats
+        ua, ia = mmssl_combine(o.det(), fu, fi, cfg.model)
         mf, emb, reg = bpr_loss(ua[users], ia[pos], ia[neg], t.decay)
         mod_u_sims = {m: u_sim(fu[m][users], fi[m], u_ui) for m in modalities}
         fr = feat_reg_loss(
@@ -252,7 +288,7 @@ def mmssl_train_step_impl(
         )
         cl = jnp.zeros(())
         for m in modalities:
-            cl = cl + infonce(det_in.mm_user_id[m][users], ua[users], t.cl_tau, eps=1e-8,
+            cl = cl + infonce(o.mm_user_id[m][users], ua[users], t.cl_tau, eps=1e-8,
                               row_chunk=max(users.shape[0], 1))
         g_inputf = jnp.concatenate([mod_u_sims[m] for m in modalities], axis=0)
         g_predf = apply_discriminator(d_params, g_inputf, cfg.model, cfg.parity, train=True, rng=r_gd)
@@ -264,11 +300,8 @@ def mmssl_train_step_impl(
         }
         return total, aux
 
-    (g_loss, aux), (g_direct, det_grads) = jax.value_and_grad(
-        g_loss_fn, argnums=(0, 1), has_aux=True
-    )(state.params, det)
-    (det_param_grads,) = det_vjp(det_grads)
-    g_grads = jax.tree.map(jnp.add, g_direct, det_param_grads)
+    (g_loss, aux), out_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(out)
+    (g_grads,) = fwd_vjp(out_grads)
     g_updates, opt_state = g_opt.update(g_grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, g_updates)
 
@@ -287,6 +320,7 @@ def mmssl_train_step_impl(
         buf_rows=new_rows,
         buf_cols=new_cols,
         buf_count=new_cnt,
+        use_init=jnp.logical_and(state.use_init, jnp.logical_not(do_rebuild)),
         rng=rng,
         step=state.step + 1,
     )

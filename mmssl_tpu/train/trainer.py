@@ -140,12 +140,20 @@ class Trainer:
         cfg, ds = self.cfg, self.ds
         ui_norm = csr_norm(ds.R, mean_flag=True)  # MMSSL/main.py:66-67
         iu_norm = csr_norm(ds.R.T, mean_flag=True)
-        cap = graph_capacity(cfg, ds.n_items, ui_norm.nnz)
+        cap = graph_capacity(cfg, ds.n_items)
         train_pad, _ = ds.padded_split("train")
+        ui_g = SparseGraph.from_scipy(ui_norm)
+        iu_g = SparseGraph.from_scipy(iu_norm)
+        if cfg.model.graph_impl == "dense":
+            from mmssl_tpu.ops.sparse import sparse_to_dense_graph
+
+            gdtype = jnp.bfloat16 if cfg.model.graph_dtype == "bfloat16" else jnp.float32
+            ui_g = sparse_to_dense_graph(ui_g, gdtype)
+            iu_g = sparse_to_dense_graph(iu_g, gdtype)
         self.consts = MMSSLConsts(
             feats=self.feats,
-            ui=SparseGraph.from_scipy(ui_norm, capacity=cap),
-            iu=SparseGraph.from_scipy(iu_norm, capacity=cap),
+            ui=ui_g,
+            iu=iu_g,
             train_pad=jnp.asarray(train_pad),
         )
         params = init_mmssl(self._split_rng(), ds.n_users, ds.n_items, self.feat_dims, cfg.model)
@@ -160,28 +168,36 @@ class Trainer:
         self.d_opt = make_discriminator_optimizer(cfg.train.d_lr, cfg.train.d_betas)
         modalities = sorted(self.feats)
 
-        def copy_graph(g: SparseGraph) -> SparseGraph:
-            # Distinct buffers per modality: the train step donates the state,
-            # and XLA rejects donating one buffer via two arguments.
+        def empty_graph(shape):
+            # Empty densified graph at T*B*k capacity (distinct buffers per
+            # modality: the train step donates the state, and XLA rejects
+            # donating one buffer via two arguments).  Until the first rebuild
+            # the step reads consts.ui/iu instead (state.use_init), matching
+            # the reference's image/text_ui_graph = ui_graph initialization
+            # (MMSSL/main.py:68-69) without storing full-nnz copies.
+            from mmssl_tpu.ops.sparse import DenseGraph
+
+            if cfg.model.graph_impl == "dense":
+                gdtype = jnp.bfloat16 if cfg.model.graph_dtype == "bfloat16" else jnp.float32
+                return DenseGraph(mat=jnp.zeros(shape, gdtype))
             return SparseGraph(
-                rows=jnp.array(g.rows, copy=True),
-                cols=jnp.array(g.cols, copy=True),
-                vals=jnp.array(g.vals, copy=True),
-                shape=g.shape,
+                rows=jnp.full((cap,), shape[0], jnp.int32),
+                cols=jnp.zeros((cap,), jnp.int32),
+                vals=jnp.zeros((cap,), jnp.float32),
+                shape=shape,
             )
 
-        # Densified graphs start as the normalized interaction graphs
-        # (MMSSL/main.py:68-69), buffers empty.
         self.state = MMSSLTrainState(
             params=params,
             d_params=d_params,
             opt_state=self.g_opt.init(params),
             d_opt_state=self.d_opt.init(d_params),
-            mod_ui={m: copy_graph(self.consts.ui) for m in modalities},
-            mod_iu={m: copy_graph(self.consts.iu) for m in modalities},
+            mod_ui={m: empty_graph((ds.n_users, ds.n_items)) for m in modalities},
+            mod_iu={m: empty_graph((ds.n_items, ds.n_users)) for m in modalities},
             buf_rows={m: jnp.zeros((cap,), jnp.int32) for m in modalities},
             buf_cols={m: jnp.zeros((cap,), jnp.int32) for m in modalities},
             buf_count={m: jnp.zeros((), jnp.int32) for m in modalities},
+            use_init=jnp.asarray(True),
             rng=self._split_rng(),
             step=jnp.zeros((), jnp.int32),
         )
@@ -221,6 +237,11 @@ class Trainer:
         else:
             _, norm_adj, _ = joint_adj(ds.R, ds.n_users, ds.n_items)
         joint = SparseGraph.from_scipy(norm_adj)
+        if cfg.model.graph_impl == "dense":
+            from mmssl_tpu.ops.sparse import sparse_to_dense_graph
+
+            gdtype = jnp.bfloat16 if cfg.model.graph_dtype == "bfloat16" else jnp.float32
+            joint = sparse_to_dense_graph(joint, gdtype)
         self.sparse_mode = True
         original_adjs: Dict[str, Any] = {}
         item_state: Any = ()
@@ -330,6 +351,7 @@ class Trainer:
             graphs = BipartiteGraphs(
                 ui=self.consts.ui, iu=self.consts.iu,
                 mod_ui=self.state.mod_ui, mod_iu=self.state.mod_iu,
+                use_init=self.state.use_init,
             )
             out = apply_mmssl(self.state.params, graphs, self.consts.feats, cfg.model, cfg.parity, train=False)
             return out.user_emb, out.item_emb

@@ -138,3 +138,49 @@ def test_get_adj_mat_cache(tmp_path):
     assert os.path.exists(tmp_path / "s_norm_adj_mat.npz")
     a2, n2, m2 = get_adj_mat(str(tmp_path), R, 5, 4)  # cache hit
     np.testing.assert_allclose(np.asarray(n1.todense()), np.asarray(n2.todense()))
+
+
+def test_dense_graph_matches_coo_spmm():
+    """DenseGraph (MXU path) reproduces the COO segment-sum SpMM; f32 exact,
+    bf16 within bf16 rounding of the adjacency values."""
+    from mmssl_tpu.ops.sparse import SparseGraph, sparse_to_dense_graph
+
+    rng = np.random.default_rng(7)
+    A = _rand_csr(rng, 40, 25)
+    g = SparseGraph.from_scipy(csr_norm(A, mean_flag=True))
+    X = rng.normal(size=(25, 8)).astype(np.float32)
+    exact = np.asarray(g.spmm(jnp.asarray(X)))
+
+    d32 = sparse_to_dense_graph(g, jnp.float32)
+    np.testing.assert_allclose(np.asarray(d32.spmm(jnp.asarray(X))), exact, rtol=1e-6, atol=1e-6)
+
+    d16 = sparse_to_dense_graph(g, jnp.bfloat16)
+    out16 = np.asarray(d16.spmm(jnp.asarray(X)))
+    assert out16.dtype == np.float32  # f32 accumulation
+    np.testing.assert_allclose(out16, exact, rtol=2e-2, atol=2e-2)
+
+
+def test_dense_rebuild_matches_coo_rebuild():
+    """device_row_norm_inv_sqrt_dense == scatter of device_row_norm_inv_sqrt
+    (duplicates sum in both)."""
+    from mmssl_tpu.ops.sparse import (
+        device_row_norm_inv_sqrt_dense,
+        sparse_to_dense_graph,
+    )
+
+    rows = np.array([0, 0, 1, 2, 2, 2, 0], dtype=np.int32)
+    cols = np.array([1, 1, 0, 3, 2, 1, 0], dtype=np.int32)
+    n_rows, n_cols = 4, 5
+    cap = 16
+    pr = np.zeros(cap, dtype=np.int32)
+    pc = np.zeros(cap, dtype=np.int32)
+    valid = np.zeros(cap, dtype=bool)
+    pr[: len(rows)], pc[: len(rows)], valid[: len(rows)] = rows, cols, True
+    coo = device_row_norm_inv_sqrt(jnp.asarray(pr), jnp.asarray(pc), jnp.asarray(valid), (n_rows, n_cols))
+    dense = device_row_norm_inv_sqrt_dense(
+        jnp.asarray(pr), jnp.asarray(pc), jnp.asarray(valid), (n_rows, n_cols), jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense.mat), np.asarray(sparse_to_dense_graph(coo, jnp.float32).mat),
+        rtol=1e-6, atol=1e-6,
+    )

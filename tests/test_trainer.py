@@ -74,3 +74,89 @@ def test_fit_early_stopping(tiny_dataset):
     assert res.best_epoch >= 0
     assert "recall" in res.test_metrics
     assert len(res.history) == res.epochs_run or res.stopped_early
+
+
+def test_mmssl_dense_graph_mode(tiny_dataset):
+    """graph_impl='dense' (MXU propagation) trains to losses close to the
+    exact COO path: same math, bf16 adjacency storage."""
+    kw = {"train.m_topk_rate": 0.1, "train.steps_per_dispatch": 0}
+    tr_coo = _mk_trainer(tiny_dataset, "mmssl", **kw)
+    tr_dense = _mk_trainer(tiny_dataset, "mmssl", **{**kw, "model.graph_impl": "dense"})
+    from mmssl_tpu.ops.sparse import DenseGraph
+
+    assert isinstance(tr_dense.consts.ui, DenseGraph)
+    losses_coo, losses_dense = [], []
+    for idx in range(tr_coo.n_batch):
+        losses_coo.append(float(tr_coo.train_batch(idx)[2]))
+        losses_dense.append(float(tr_dense.train_batch(idx)[2]))
+    a, b = np.mean(losses_coo), np.mean(losses_dense)
+    assert np.isfinite(a) and np.isfinite(b)
+    assert abs(a - b) / abs(a) < 0.05, (a, b)
+    res = tr_dense.evaluate("val")
+    assert np.isfinite(res["recall"]).all()
+
+
+def test_mmssl_dense_graph_f32_exact(tiny_dataset):
+    """f32 dense mode matches the COO path almost exactly step-for-step."""
+    kw = {"train.m_topk_rate": 0.1, "train.steps_per_dispatch": 0,
+          "train.densify_period": 2}
+    tr_coo = _mk_trainer(tiny_dataset, "mmssl", **kw)
+    tr_dense = _mk_trainer(
+        tiny_dataset, "mmssl",
+        **{**kw, "model.graph_impl": "dense", "model.graph_dtype": "float32"},
+    )
+    for idx in range(4):
+        m_coo = np.asarray(tr_coo.train_batch(idx))
+        m_dense = np.asarray(tr_dense.train_batch(idx))
+        np.testing.assert_allclose(m_coo, m_dense, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("model", ["lightgcn", "micro"])
+def test_simple_models_dense_graph_mode(tiny_dataset, model):
+    """graph_impl='dense' converts the joint adjacency to an MXU matmul for
+    the CF branch models too."""
+    tr = _mk_trainer(tiny_dataset, model, **{
+        "model.graph_impl": "dense", "train.steps_per_dispatch": 0,
+    })
+    from mmssl_tpu.ops.sparse import DenseGraph
+
+    assert isinstance(tr.consts.joint, DenseGraph)
+    losses = [float(tr.train_batch(idx)[0]) for idx in range(tr.n_batch)]
+    assert np.isfinite(losses).all()
+    res = tr.evaluate("val")
+    assert np.isfinite(res["recall"]).all()
+
+
+def test_use_init_phase_matches_explicit_ui_copies(tiny_dataset):
+    """Until the first densification rebuild the modality-ID propagation must
+    equal propagation over explicit copies of the normalized interaction
+    graph (MMSSL/main.py:68-69), and the carried flag must drop after the
+    first rebuild."""
+    import jax.numpy as jnp
+    from mmssl_tpu.models.mmssl import BipartiteGraphs, mmssl_deterministic_branch
+
+    tr = _mk_trainer(tiny_dataset, "mmssl", **{"train.m_topk_rate": 0.1})
+    mods = tuple(sorted(tr.consts.feats))
+    g_flag = BipartiteGraphs(
+        ui=tr.consts.ui, iu=tr.consts.iu,
+        mod_ui=tr.state.mod_ui, mod_iu=tr.state.mod_iu,
+        use_init=tr.state.use_init,
+    )
+    g_explicit = BipartiteGraphs(
+        ui=tr.consts.ui, iu=tr.consts.iu,
+        mod_ui={m: tr.consts.ui for m in mods},
+        mod_iu={m: tr.consts.iu for m in mods},
+    )
+    det_a = mmssl_deterministic_branch(tr.state.params, g_flag, tr.cfg.model, tr.cfg.parity, mods)
+    det_b = mmssl_deterministic_branch(tr.state.params, g_explicit, tr.cfg.model, tr.cfg.parity, mods)
+    np.testing.assert_allclose(np.asarray(det_a.user_base), np.asarray(det_b.user_base), rtol=1e-6)
+    for m in mods:
+        np.testing.assert_allclose(
+            np.asarray(det_a.mm_user_id[m]), np.asarray(det_b.mm_user_id[m]), rtol=1e-6
+        )
+
+    assert bool(tr.state.use_init)
+    tr.train_batch(0)  # accumulate only (idx=0): flag stays
+    assert bool(tr.state.use_init)
+    tr.train_batch(1)  # first rebuild (T=1, idx>=1): flag drops
+    assert not bool(tr.state.use_init)

@@ -83,3 +83,23 @@ def test_trimodal_mmssl_trains(tmp_path):
     assert res.epochs_run == 2
     assert len(tr.state.mod_ui) == 3  # one densified graph per modality
     assert np.isfinite(res.best_val_recall)
+
+
+def test_mmssl_mesh_dense_graphs(tiny_dataset):
+    """Dense (MXU) graph mode under the mesh: DenseGraph.mat leaves are
+    row-sharded over the model axis and both step programs run."""
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    cfg = preset("tiny", "mmssl", **{
+        "data.batch_size": 16,
+        "model.embed_size": 16,
+        "model.graph_impl": "dense",
+        "train.m_topk_rate": 0.1,
+        "train.densify_period": 2,
+        "train.steps_per_dispatch": 2,
+        "eval.ks": (3, 5),
+    })
+    tr = Trainer(cfg, dataset=tiny_dataset, logger=MetricLogger(quiet=True), mesh=mesh)
+    m = np.asarray(tr.train_batch(0))
+    assert np.isfinite(m).all()
+    m = np.asarray(tr.train_chunk(1, 2))
+    assert np.isfinite(m).all()
