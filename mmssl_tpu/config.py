@@ -100,11 +100,15 @@ class ModelConfig:
     # Discriminator (MMSSL/Models.py:224-245).
     g_drop1: float = 0.31  # parser.py:84
     g_drop2: float = 0.5  # parser.py:85
-    # Graph propagation backend.  'coo' = padded-COO segment-sum SpMM (exact,
-    # the parity default).  'dense' = materialized adjacency bf16/f32 MXU
-    # matmuls — on TPU the COO scatters dominate the MMSSL step (~1.2 ms
-    # each, dozens per step at Baby scale) while the equivalent dense matmul
-    # takes ~0.35 ms; at <=0.1% graph sparsity the extra FLOPs are free.
+    # Propagation backend for the STATIC graphs (MMSSL ui/iu, CF joint adj).
+    # 'coo' = padded-COO segment-sum SpMM (exact, the parity default).
+    # 'dense' = materialized adjacency bf16/f32 MXU matmuls — on TPU the COO
+    # gather+scatter moves ~2x the adjacency bytes and serializes per entry
+    # (measured 51% of the MMSSL step at Baby scale), while the dense bf16
+    # matmul streams the matrix once through the MXU; at <=0.1% sparsity the
+    # redundant FLOPs are free.  Densified modality graphs always stay COO
+    # (tiny T*B*k capacity; a dense rebuild would re-scatter the full matrix
+    # every T batches).
     graph_impl: str = "coo"  # coo | dense
     graph_dtype: str = "bfloat16"  # dense-mode storage dtype: bfloat16 | float32
 
@@ -151,6 +155,10 @@ class TrainConfig:
     # (data/sampler_device.py).  Epoch tails shorter than this run as
     # per-batch dispatches to bound compile variants.
     steps_per_dispatch: int = 32
+    # Rematerialize the fused forward in the generator VJP (jax.checkpoint):
+    # trades one extra forward's FLOPs for dropping its residuals, for
+    # catalogs where [n_users, (1+2M)d] activations pressure HBM.
+    remat: bool = False
     checkpoint_dir: str = ""
     checkpoint_every: int = 0  # epochs; 0 = disabled
     log_every_steps: int = 0  # 0 = per-epoch only

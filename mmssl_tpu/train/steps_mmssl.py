@@ -52,11 +52,7 @@ from mmssl_tpu.models.mmssl import (
     mmssl_fused_forward,
     mmssl_modality_feats,
 )
-from mmssl_tpu.ops.sparse import (
-    SparseGraph,
-    device_row_norm_inv_sqrt,
-    device_row_norm_inv_sqrt_dense,
-)
+from mmssl_tpu.ops.sparse import SparseGraph, device_row_norm_inv_sqrt
 
 
 MMSSL_METRIC_KEYS = ("loss", "loss_d", "mf_loss", "emb_loss", "feat_reg", "cl_loss", "g_lossf")
@@ -187,16 +183,12 @@ def _accumulate_or_rebuild(
         cap = rows.shape[0]
 
         def rebuild(rows=rows, cols=cols, cnt=cnt, m=m):
+            # Rebuilt graphs are COO in every graph_impl mode: their T*B*k
+            # capacity makes the scatter negligible, while a dense rebuild
+            # would re-scatter an n_users x n_items buffer every T batches.
             valid = jnp.arange(cap) < cnt
-            if cfg.model.graph_impl == "dense":
-                gdtype = (
-                    jnp.bfloat16 if cfg.model.graph_dtype == "bfloat16" else jnp.float32
-                )
-                g_ui = device_row_norm_inv_sqrt_dense(rows, cols, valid, (n_users, n_items), gdtype)
-                g_iu = device_row_norm_inv_sqrt_dense(cols, rows, valid, (n_items, n_users), gdtype)
-            else:
-                g_ui = device_row_norm_inv_sqrt(rows, cols, valid, (n_users, n_items))
-                g_iu = device_row_norm_inv_sqrt(cols, rows, valid, (n_items, n_users))
+            g_ui = device_row_norm_inv_sqrt(rows, cols, valid, (n_users, n_items))
+            g_iu = device_row_norm_inv_sqrt(cols, rows, valid, (n_items, n_users))
             return g_ui, g_iu, rows, cols, jnp.zeros((), jnp.int32)
 
         def accumulate(rows=rows, cols=cols, cnt=cnt, m=m):
@@ -249,6 +241,8 @@ def mmssl_train_step_impl(
     fwd_fn = lambda p: mmssl_fused_forward(
         p, graphs, consts.feats, cfg.model, cfg.parity, r_fwd0, r_gfwd, train=True
     )
+    if cfg.train.remat:
+        fwd_fn = jax.checkpoint(fwd_fn)
     out, fwd_vjp = jax.vjp(fwd_fn, state.params)
 
     # ---- discriminator step (generator frozen, main.py:339-361) ----

@@ -175,11 +175,10 @@ class Trainer:
             # the step reads consts.ui/iu instead (state.use_init), matching
             # the reference's image/text_ui_graph = ui_graph initialization
             # (MMSSL/main.py:68-69) without storing full-nnz copies.
-            from mmssl_tpu.ops.sparse import DenseGraph
-
-            if cfg.model.graph_impl == "dense":
-                gdtype = jnp.bfloat16 if cfg.model.graph_dtype == "bfloat16" else jnp.float32
-                return DenseGraph(mat=jnp.zeros(shape, gdtype))
+            # Always COO, even in dense mode: post-rebuild these graphs hold
+            # at most T*B*k entries, where the latency-bound scatter is far
+            # cheaper than a full dense matmul (and a dense rebuild would
+            # re-scatter an n_users x n_items buffer every T batches).
             return SparseGraph(
                 rows=jnp.full((cap,), shape[0], jnp.int32),
                 cols=jnp.zeros((cap,), jnp.int32),

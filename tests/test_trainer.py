@@ -160,3 +160,15 @@ def test_use_init_phase_matches_explicit_ui_copies(tiny_dataset):
     assert bool(tr.state.use_init)
     tr.train_batch(1)  # first rebuild (T=1, idx>=1): flag drops
     assert not bool(tr.state.use_init)
+
+
+def test_mmssl_remat(tiny_dataset):
+    """train.remat wraps the fused forward in jax.checkpoint; numerics equal
+    the non-remat step."""
+    kw = {"train.m_topk_rate": 0.1, "train.steps_per_dispatch": 0}
+    tr_a = _mk_trainer(tiny_dataset, "mmssl", **kw)
+    tr_b = _mk_trainer(tiny_dataset, "mmssl", **{**kw, "train.remat": True})
+    for idx in range(3):
+        m_a = np.asarray(tr_a.train_batch(idx))
+        m_b = np.asarray(tr_b.train_batch(idx))
+        np.testing.assert_allclose(m_a, m_b, rtol=2e-4, atol=2e-4)
