@@ -77,6 +77,11 @@ def main() -> None:
     cfg = preset("baby_scale", "mmssl", **{
         "data.data_path": os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data"),
         "data.batch_size": BATCH,
+        # Production fast path: static graphs as dense bf16 MXU matmuls (the
+        # COO scatter is per-entry latency-bound) and bf16 inputs with f32
+        # accumulation for the hot GEMMs (discriminator / projectors / u_sim).
+        "model.graph_impl": "dense",
+        "model.compute_dtype": "bfloat16",
     })
     # Generate the modality features directly on device: the axon relay
     # uploads at ~1.2 MB/s, so shipping the 143 MB of synthetic features

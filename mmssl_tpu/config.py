@@ -111,6 +111,13 @@ class ModelConfig:
     # every T batches).
     graph_impl: str = "coo"  # coo | dense
     graph_dtype: str = "bfloat16"  # dense-mode storage dtype: bfloat16 | float32
+    # Input dtype of the hot GEMMs (discriminator MLP, modality projectors,
+    # full-catalog u_sim sweeps).  'bfloat16' casts the matmul operands to
+    # bf16 with f32 accumulation (preferred_element_type) — the discriminator
+    # alone is ~0.7 TFLOP/step at Baby scale in f32, and the MXU runs bf16 at
+    # ~2x f32 throughput with half the HBM operand traffic.  'float32' is the
+    # parity default (the reference computes everything in f32).
+    compute_dtype: str = "float32"  # float32 | bfloat16
 
 
 @dataclass(frozen=True)

@@ -54,8 +54,26 @@ def init_linear(key: jax.Array, fan_in: int, fan_out: int, w_init=xavier_uniform
     return {"w": w_init(kw, (fan_in, fan_out)), "b": torch_linear_bias(kb, fan_in, fan_out)}
 
 
-def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    return x @ p["w"] + p["b"]
+def resolve_dtype(name: str):
+    """ModelConfig.compute_dtype string -> matmul() dtype arg (None = f32)."""
+    return None if name in ("float32", "f32", "") else jnp.dtype(name)
+
+
+def matmul(x: jnp.ndarray, y: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """MXU matmul with optional low-precision inputs and f32 accumulation.
+
+    With ``dtype=jnp.bfloat16`` both operands are cast to bf16 (XLA fuses the
+    casts into the matmul's operand reads) and the product accumulates in
+    f32 via ``preferred_element_type`` — ~2x MXU throughput and half the HBM
+    bytes per operand vs f32.  ``dtype=None`` is a plain f32 matmul (the
+    parity default)."""
+    if dtype is None:
+        return x @ y
+    return jnp.matmul(x.astype(dtype), y.astype(dtype), preferred_element_type=jnp.float32)
+
+
+def linear(p: dict, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    return matmul(x, p["w"], dtype) + p["b"]
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:

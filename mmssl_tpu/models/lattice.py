@@ -29,6 +29,8 @@ from mmssl_tpu.models.common import (
     init_linear,
     l2_normalize,
     linear,
+    matmul,
+    resolve_dtype,
     torch_linear_default,
     xavier_uniform,
 )
@@ -93,12 +95,13 @@ def apply_lattice(
 ) -> LatticeOutput:
     modalities = sorted(feats)
     weight = jax.nn.softmax(params["modal_weight"], axis=0)
+    dt = resolve_dtype(cfg.compute_dtype)
 
     if build_item_graph:
         learned = jnp.zeros_like(item_adj_state)
         original = jnp.zeros_like(item_adj_state)
         for i, m in enumerate(modalities):
-            proj = linear(params["trs"][m], feats[m])
+            proj = linear(params["trs"][m], feats[m], dt)
             adj_m = build_knn_neighbourhood(build_sim(proj), cfg.knn_topk)
             learned = learned + weight[i] * adj_m
             original = original + weight[i] * original_adjs[m]
@@ -107,9 +110,11 @@ def apply_lattice(
     else:
         item_adj = jax.lax.stop_gradient(item_adj_state)
 
+    # The n_items^2 dense propagation is LATTICE's hot op — bf16 inputs halve
+    # the item_adj HBM read (200 MB at Baby scale, 1.3 GB at Sports).
     h = params["item_emb"]
     for _ in range(cfg.n_item_layers):
-        h = item_adj @ h
+        h = matmul(item_adj, h, dt)
 
     cf = cf_branch(params, joint, cfg, train, rng)
     item_out = cf.item_emb + l2_normalize(h, axis=1)

@@ -29,6 +29,8 @@ from mmssl_tpu.models.common import (
     init_linear,
     l2_normalize,
     linear,
+    matmul,
+    resolve_dtype,
     torch_linear_default,
     xavier_uniform,
 )
@@ -119,11 +121,12 @@ def apply_micro(
     rng: Optional[jax.Array] = None,
 ) -> MicroOutput:
     modalities = sorted(feats)
+    dt = resolve_dtype(cfg.compute_dtype)
 
     mod_adjs: Dict[str, ModalityAdj] = {}
     if build_item_graph:
         for m in modalities:
-            proj = linear(params["trs"][m], feats[m])
+            proj = linear(params["trs"][m], feats[m], dt)
             sim = build_sim(proj)
             if sparse:
                 new = build_knn_sparse_graph(sim, cfg.knn_topk, cfg.norm_type)
@@ -141,7 +144,7 @@ def apply_micro(
         h_m = params["item_emb"]
         adj = mod_adjs[m]
         for _ in range(cfg.n_item_layers):
-            h_m = adj.spmm(h_m) if isinstance(adj, SparseGraph) else adj @ h_m
+            h_m = adj.spmm(h_m) if isinstance(adj, SparseGraph) else matmul(adj, h_m, dt)
         mm_item_embeds[m] = h_m
 
     # Attention fusion over modalities (Models.py:121-123).

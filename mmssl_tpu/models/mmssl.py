@@ -47,6 +47,7 @@ from mmssl_tpu.models.common import (
     l2_normalize,
     leaky_relu,
     linear,
+    resolve_dtype,
     xavier_uniform,
 )
 from mmssl_tpu.ops.sparse import SparseGraph
@@ -228,13 +229,14 @@ def _project_modalities(
 ) -> jnp.ndarray:
     """Per-modality projector + dropout (Models.py:173-174), concatenated to
     [n_items, M*d].  Dropout keys are drawn per modality in sorted order."""
+    dt = resolve_dtype(cfg.compute_dtype)
     projs = []
     for m in sorted(feats):
         if rng is not None:
             rng, sub = jax.random.split(rng)
         else:
             sub = None
-        projs.append(dropout(sub, linear(params["proj"][m], feats[m]), cfg.drop_rate, train))
+        projs.append(dropout(sub, linear(params["proj"][m], feats[m], dt), cfg.drop_rate, train))
     return jnp.concatenate(projs, axis=1)
 
 
@@ -420,14 +422,15 @@ def apply_discriminator(
 ) -> jnp.ndarray:
     """Returns [B] scores in [0, 100] (quirk Q8: 100 * sigmoid)."""
     slope = 1.0 if parity.discriminator_identity_leak else 0.01
+    dt = resolve_dtype(cfg.compute_dtype)
     r1 = r2 = None
     if rng is not None:
         r1, r2 = jax.random.split(rng)
-    h = leaky_relu(linear(params["l1"], x), slope)
+    h = leaky_relu(linear(params["l1"], x, dt), slope)
     h = batchnorm(params["bn1"], h, axis_name=axis_name)
     h = dropout(r1, h, cfg.g_drop1, train)
-    h = leaky_relu(linear(params["l2"], h), slope)
+    h = leaky_relu(linear(params["l2"], h, dt), slope)
     h = batchnorm(params["bn2"], h, axis_name=axis_name)
     h = dropout(r2, h, cfg.g_drop2, train)
-    out = 100.0 * jax.nn.sigmoid(linear(params["l3"], h))
+    out = 100.0 * jax.nn.sigmoid(linear(params["l3"], h, dt))
     return out[:, 0]

@@ -42,7 +42,7 @@ from mmssl_tpu.config import ExperimentConfig
 from mmssl_tpu.losses.bpr import bpr_loss
 from mmssl_tpu.losses.contrastive import infonce
 from mmssl_tpu.losses.reg import feat_reg_loss
-from mmssl_tpu.models.common import l2_normalize
+from mmssl_tpu.models.common import l2_normalize, matmul, resolve_dtype
 from mmssl_tpu.models.mmssl import (
     BipartiteGraphs,
     apply_discriminator,
@@ -120,11 +120,12 @@ def u_sim(
     user_rows: jnp.ndarray,  # [B, d] gathered user embeddings
     item_emb: jnp.ndarray,  # [n_items, d]
     u_ui: jnp.ndarray,  # [B, n_items] binary interactions
+    dtype=None,  # optional bf16 matmul inputs (ModelConfig.compute_dtype)
 ) -> jnp.ndarray:
     """``u_sim_calculation``: full-catalog scores, known interactions zeroed,
     rows L2-normalized (main.py:283-298).  One MXU matmul; the reference's
     item-chunking is a GPU-memory workaround with identical numerics."""
-    sim = (user_rows @ item_emb.T) * (1.0 - u_ui)
+    sim = matmul(user_rows, item_emb.T, dtype) * (1.0 - u_ui)
     return l2_normalize(sim, axis=1)
 
 
@@ -246,9 +247,10 @@ def mmssl_train_step_impl(
     out, fwd_vjp = jax.vjp(fwd_fn, state.params)
 
     # ---- discriminator step (generator frozen, main.py:339-361) ----
+    cdt = resolve_dtype(cfg.model.compute_dtype)
     uaD, iaD = mmssl_combine(out.det(), out.d_user_feats, out.d_item_feats, cfg.model)
-    ui_sim = u_sim(uaD[users], iaD, u_ui)
-    fake_sims = [u_sim(out.d_user_feats[m][users], out.d_item_feats[m], u_ui) for m in modalities]
+    ui_sim = u_sim(uaD[users], iaD, u_ui, cdt)
+    fake_sims = [u_sim(out.d_user_feats[m][users], out.d_item_feats[m], u_ui, cdt) for m in modalities]
     inputf = jnp.concatenate(fake_sims, axis=0)  # [M*B, n_items]
     real = gumbel_soften_rows(u_ui, ui_sim, r_gum, cfg)
     inputr = jnp.concatenate([real] * len(modalities), axis=0)
@@ -274,7 +276,7 @@ def mmssl_train_step_impl(
         fu, fi = o.g_user_feats, o.g_item_feats
         ua, ia = mmssl_combine(o.det(), fu, fi, cfg.model)
         mf, emb, reg = bpr_loss(ua[users], ia[pos], ia[neg], t.decay)
-        mod_u_sims = {m: u_sim(fu[m][users], fi[m], u_ui) for m in modalities}
+        mod_u_sims = {m: u_sim(fu[m][users], fi[m], u_ui, cdt) for m in modalities}
         fr = feat_reg_loss(
             [fi[m] for m in modalities] + [fu[m] for m in modalities],
             n_items,

@@ -111,6 +111,27 @@ def test_mmssl_dense_graph_f32_exact(tiny_dataset):
         np.testing.assert_allclose(m_coo, m_dense, rtol=2e-3, atol=2e-3)
 
 
+def test_mmssl_bf16_compute(tiny_dataset):
+    """compute_dtype='bfloat16' (bf16 matmul inputs, f32 accumulation for the
+    discriminator / projector / u_sim GEMMs) trains to losses close to the
+    f32 parity path — the bench fast path."""
+    kw = {"train.m_topk_rate": 0.1, "train.steps_per_dispatch": 0}
+    tr_f32 = _mk_trainer(tiny_dataset, "mmssl", **kw)
+    tr_bf16 = _mk_trainer(
+        tiny_dataset, "mmssl",
+        **{**kw, "model.graph_impl": "dense", "model.compute_dtype": "bfloat16"},
+    )
+    losses_f32, losses_bf16 = [], []
+    for idx in range(tr_f32.n_batch):
+        losses_f32.append(float(tr_f32.train_batch(idx)[2]))
+        losses_bf16.append(float(tr_bf16.train_batch(idx)[2]))
+    a, b = np.mean(losses_f32), np.mean(losses_bf16)
+    assert np.isfinite(a) and np.isfinite(b)
+    assert abs(a - b) / abs(a) < 0.05, (a, b)
+    res = tr_bf16.evaluate("val")
+    assert np.isfinite(res["recall"]).all()
+
+
 @pytest.mark.parametrize("model", ["lightgcn", "micro"])
 def test_simple_models_dense_graph_mode(tiny_dataset, model):
     """graph_impl='dense' converts the joint adjacency to an MXU matmul for
