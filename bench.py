@@ -100,12 +100,18 @@ def main() -> None:
     t0 = time.time()
     m = tr.train_chunk(0, spd)
     loss = float(np.asarray(m)[-1, 0])
-    log(f"bench: warmup ({spd}-step fused chunk incl. compile) {time.time() - t0:.1f}s")
+    log(f"bench: warmup chunk 1 (transition program, incl. compile) {time.time() - t0:.1f}s")
+    # Chunk 2 compiles the post-rebuild program variant (use_init lax.cond
+    # compiled out) — warm it too so the timed region measures steady state.
+    t0 = time.time()
+    m = tr.train_chunk(spd, spd)
+    loss = float(np.asarray(m)[-1, 0])
+    log(f"bench: warmup chunk 2 (steady-state program, incl. compile) {time.time() - t0:.1f}s")
 
     n_chunks = max(TIMED_STEPS // spd, 1)
     t0 = time.time()
     for c in range(n_chunks):
-        m = tr.train_chunk((c + 1) * spd, spd)
+        m = tr.train_chunk((c + 2) * spd, spd)
         loss = float(np.asarray(m)[-1, 0])
     dt = time.time() - t0
     steps = n_chunks * spd

@@ -118,6 +118,15 @@ class ModelConfig:
     # ~2x f32 throughput with half the HBM operand traffic.  'float32' is the
     # parity default (the reference computes everything in f32).
     compute_dtype: str = "float32"  # float32 | bfloat16
+    # "Multi-head self-attention" implementation (MMSSL/Models.py:139-169).
+    # 'algebraic' exploits an exact identity of the reference's formula: the
+    # softmax normalizes over the source-modality axis while V is indexed
+    # only by the TARGET modality, so every attention output equals V and
+    # w_q/w_k receive identically zero gradient — the whole Q/K/softmax
+    # pipeline is dead compute (value AND gradient equal to the faithful
+    # form up to fp rounding; see models/mmssl.modality_attention).
+    # 'faithful' computes the reference's expression verbatim.
+    attention_impl: str = "algebraic"  # algebraic | faithful
 
 
 @dataclass(frozen=True)

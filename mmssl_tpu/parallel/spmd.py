@@ -87,12 +87,15 @@ def make_sharded_mmssl_step(
     n_items: int,
     state: MMSSLTrainState,
     consts: MMSSLConsts,
+    use_init_static: "bool | None" = None,
 ):
     """Returns (step_fn, sharded_state, sharded_consts).
 
     step_fn(state, consts, users, pos, neg, do_rebuild) -> (state, metrics),
     compiled once over the mesh with stable state shardings (outputs pinned
-    to inputs so the training loop never reshards).
+    to inputs so the training loop never reshards).  ``use_init_static=False``
+    compiles out the pre-first-rebuild lax.cond (see steps_mmssl); the
+    trainer switches to that variant once the rebuild happened.
     """
     state_sh = tree_shardings(mesh, state)
     consts_sh = tree_shardings(mesh, consts)
@@ -108,6 +111,7 @@ def make_sharded_mmssl_step(
             d_opt=d_opt,
             n_users=n_users,
             n_items=n_items,
+            use_init_static=use_init_static,
         ),
         in_shardings=(state_sh, consts_sh, batch_sh, batch_sh, batch_sh, scalar_sh),
         out_shardings=(state_sh, metrics_sh),
@@ -132,7 +136,8 @@ def make_sharded_mmssl_epoch(
     traffic — see steps_mmssl.mmssl_train_epoch).  State shardings match
     make_sharded_mmssl_step so the two programs interoperate on the same
     buffers.  Returns (epoch_fn, sharded_sampler_consts);
-    epoch_fn(state, consts, sampler, start_idx, n_steps=K).
+    epoch_fn(state, consts, sampler, start_idx, n_steps, use_init_static)
+    — the last two args are static (jit caches one program per variant).
     """
     state_sh = tree_shardings(mesh, state)
     consts_sh = tree_shardings(mesh, consts)
@@ -150,7 +155,8 @@ def make_sharded_mmssl_epoch(
             n_users=n_users,
             n_items=n_items,
         ),
-        static_argnums=(4,),  # n_steps (pjit forbids kwargs with in_shardings)
+        # n_steps + use_init_static (pjit forbids kwargs with in_shardings)
+        static_argnums=(4, 5),
         in_shardings=(state_sh, consts_sh, sampler_sh, scalar_sh),
         out_shardings=(state_sh, scalar_sh),
         donate_argnums=(0,),

@@ -222,14 +222,22 @@ def mmssl_train_step_impl(
     d_opt: optax.GradientTransformation,
     n_users: int,
     n_items: int,
+    use_init_static: "bool | None" = None,
 ) -> Tuple[MMSSLTrainState, Dict[str, jnp.ndarray]]:
     t = cfg.train
     modalities = sorted(consts.feats)
     rng, r_fwd0, r_gum, r_df, r_dr, r_gp, r_gfwd, r_gd = jax.random.split(state.rng, 8)
 
+    # use_init_static=False: the host knows the first densification rebuild
+    # already happened (state.use_init is monotonically False afterwards), so
+    # the per-step lax.cond in the modality-ID propagation is compiled out.
+    # The cond is not free: its VJP materializes zero cotangents for the
+    # captured dense ui/iu graphs (full [n_users, n_items] broadcasts +
+    # pass-through copies, ~3 ms/step at Amazon-Baby scale).  None = dynamic
+    # (the transition chunk).
     graphs = BipartiteGraphs(
         ui=consts.ui, iu=consts.iu, mod_ui=state.mod_ui, mod_iu=state.mod_iu,
-        use_init=state.use_init,
+        use_init=None if use_init_static is False else state.use_init,
     )
     u_ui = interaction_rows(consts.train_pad, users, n_items)
 
@@ -332,7 +340,7 @@ def mmssl_train_step_impl(
 
 mmssl_train_step = partial(
     jax.jit,
-    static_argnames=("cfg", "g_opt", "d_opt", "n_users", "n_items"),
+    static_argnames=("cfg", "g_opt", "d_opt", "n_users", "n_items", "use_init_static"),
     donate_argnums=(0,),
 )(mmssl_train_step_impl)
 
@@ -343,6 +351,7 @@ def mmssl_train_epoch_impl(
     sampler: "DeviceSamplerConsts",
     start_idx: jnp.ndarray,  # int32 scalar: within-epoch index of the first step
     n_steps: int,
+    use_init_static: "bool | None",
     cfg: ExperimentConfig,
     g_opt: optax.GradientTransformation,
     d_opt: optax.GradientTransformation,
@@ -371,6 +380,7 @@ def mmssl_train_epoch_impl(
         new_state, metrics = mmssl_train_step_impl(
             carry, consts, users, pos, neg, do_rebuild,
             cfg, g_opt, d_opt, n_users, n_items,
+            use_init_static=use_init_static,
         )
         return new_state, metrics
 
@@ -380,6 +390,6 @@ def mmssl_train_epoch_impl(
 
 mmssl_train_epoch = partial(
     jax.jit,
-    static_argnames=("n_steps", "cfg", "g_opt", "d_opt", "n_users", "n_items"),
+    static_argnames=("n_steps", "use_init_static", "cfg", "g_opt", "d_opt", "n_users", "n_items"),
     donate_argnums=(0,),
 )(mmssl_train_epoch_impl)

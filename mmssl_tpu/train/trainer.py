@@ -120,6 +120,10 @@ class Trainer:
         Returns the extra metadata dict saved alongside."""
         assert self.ckpt is not None, "no checkpoint_dir configured"
         self.state, extra = self.ckpt.restore(self.state, step)
+        if self.is_mmssl:
+            # Re-derive the host-side mirror of the monotone use_init flag so
+            # the post-rebuild static program specialization survives resume.
+            self._densified = not bool(jax.device_get(self.state.use_init))
         return extra
 
     # ------------------------------------------------------------------
@@ -200,7 +204,12 @@ class Trainer:
             rng=self._split_rng(),
             step=jnp.zeros((), jnp.int32),
         )
+        # Host mirror of state.use_init (monotonically False after the first
+        # densification rebuild): once False, steps compile without the
+        # use_init lax.cond (see steps_mmssl.mmssl_train_step_impl).
+        self._densified = False
         self._sharded_step = None
+        self._sharded_step_noinit = None
         self._sharded_epoch = None
         if self.mesh is not None:
             from mmssl_tpu.parallel.spmd import (
@@ -214,6 +223,13 @@ class Trainer:
             self._sharded_step, self.state, self.consts = make_sharded_mmssl_step(
                 self.mesh, self.cfg, self.g_opt, self.d_opt,
                 self.ds.n_users, self.ds.n_items, self.state, self.consts,
+            )
+            # Post-rebuild variant (compiled lazily on first use; device_put
+            # of already-sharded buffers is a no-op).
+            self._sharded_step_noinit, _, _ = make_sharded_mmssl_step(
+                self.mesh, self.cfg, self.g_opt, self.d_opt,
+                self.ds.n_users, self.ds.n_items, self.state, self.consts,
+                use_init_static=False,
             )
             self._sharded_epoch, self.sampler_consts = make_sharded_mmssl_epoch(
                 self.mesh, self.cfg, self.g_opt, self.d_opt,
@@ -298,16 +314,21 @@ class Trainer:
         users, pos, neg = jnp.asarray(users), jnp.asarray(pos), jnp.asarray(neg)
         if self.is_mmssl:
             t = max(self.cfg.train.densify_period, 1)
-            do_rebuild = jnp.asarray(idx % t == 0 and idx != 0)
+            rebuild = idx % t == 0 and idx != 0
+            do_rebuild = jnp.asarray(rebuild)
+            uis = False if self._densified else None
             if self._sharded_step is not None:
-                self.state, metrics = self._sharded_step(
+                step_fn = self._sharded_step_noinit if uis is False else self._sharded_step
+                self.state, metrics = step_fn(
                     self.state, self.consts, users, pos, neg, do_rebuild
                 )
             else:
                 self.state, metrics = mmssl_train_step(
                     self.state, self.consts, users, pos, neg, do_rebuild,
                     self.cfg, self.g_opt, self.d_opt, self.ds.n_users, self.ds.n_items,
+                    use_init_static=uis,
                 )
+            self._densified = self._densified or rebuild
         else:
             # LATTICE/MICRO rebuild the learned item graph only on the first
             # batch of each epoch (LATTICE/codes/main.py:77,84-85).
@@ -324,17 +345,23 @@ class Trainer:
         [n_steps, len(metric_keys)] without forcing a host sync."""
         self.fault_injector.maybe_fail("train_batch/sample")
         if self.is_mmssl:
+            t = max(self.cfg.train.densify_period, 1)
+            chunk_rebuilds = any(
+                i % t == 0 and i != 0 for i in range(start_idx, start_idx + n_steps)
+            )
+            uis = False if self._densified else None
             if self._sharded_epoch is not None:
                 self.state, metrics = self._sharded_epoch(
                     self.state, self.consts, self.sampler_consts,
-                    jnp.asarray(start_idx, jnp.int32), n_steps,
+                    jnp.asarray(start_idx, jnp.int32), n_steps, uis,
                 )
             else:
                 self.state, metrics = mmssl_train_epoch(
                     self.state, self.consts, self.sampler_consts,
-                    jnp.asarray(start_idx, jnp.int32), n_steps,
+                    jnp.asarray(start_idx, jnp.int32), n_steps, uis,
                     self.cfg, self.g_opt, self.d_opt, self.ds.n_users, self.ds.n_items,
                 )
+            self._densified = self._densified or chunk_rebuilds
         else:
             self.state, metrics = simple_train_epoch(
                 self.state, self.consts, self.sampler_consts,

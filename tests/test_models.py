@@ -98,6 +98,33 @@ def test_attention_collapse_invariant(setup):
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-5, atol=1e-6)
 
 
+def test_attention_algebraic_matches_faithful(setup):
+    """impl='algebraic' (the default) equals the faithful reference formula
+    in value AND gradient: w_q/w_k get exactly zero gradient in the faithful
+    form (softmax VJP of an s-constant cotangent vanishes)."""
+    *_, cfg = setup
+    params = init_mmssl(jax.random.key(5), N_USERS, N_ITEMS, FEAT_DIMS, cfg)
+    rng = np.random.default_rng(7)
+    stack = jnp.asarray(rng.normal(size=(2, 6, D)).astype(np.float32))
+    for parity in (ParityConfig(), ParityConfig(attention_k_equals_q=False,
+                                                discard_attention_rescale=False)):
+        def loss(p, s, impl):
+            z = modality_attention(p, s, cfg.head_num, parity, 0.55, impl)
+            return jnp.sum(jnp.sin(z))  # nonlinear scalarization
+
+        for impl_pair in [("faithful", "algebraic")]:
+            (va, (gpa, gsa)) = jax.value_and_grad(loss, argnums=(0, 1))(params, stack, impl_pair[0])
+            (vb, (gpb, gsb)) = jax.value_and_grad(loss, argnums=(0, 1))(params, stack, impl_pair[1])
+            np.testing.assert_allclose(float(va), float(vb), rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(gsa), np.asarray(gsb), rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(gpa["w_cat"]), np.asarray(gpb["w_cat"]), rtol=1e-4, atol=1e-5
+            )
+            # faithful w_q/w_k grads are identically ~zero
+            assert float(jnp.max(jnp.abs(gpa["w_q"]))) < 1e-5
+            assert float(jnp.max(jnp.abs(gpa["w_k"]))) < 1e-5
+
+
 def test_mmssl_forward(setup):
     _, ui, iu, _, feats, cfg = setup
     params = init_mmssl(jax.random.key(4), N_USERS, N_ITEMS, FEAT_DIMS, cfg)

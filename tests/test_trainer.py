@@ -111,6 +111,30 @@ def test_mmssl_dense_graph_f32_exact(tiny_dataset):
         np.testing.assert_allclose(m_coo, m_dense, rtol=2e-3, atol=2e-3)
 
 
+def test_mmssl_use_init_static_specialization(tiny_dataset):
+    """The trainer's post-rebuild static specialization (use_init lax.cond
+    compiled out) produces the same metric traces as an all-dynamic run."""
+    kw = {"train.m_topk_rate": 0.1, "train.densify_period": 2}
+    # Per-batch path: trainer flips to use_init_static=False after idx=2.
+    tr_a = _mk_trainer(tiny_dataset, "mmssl", **{**kw, "train.steps_per_dispatch": 0})
+    # Chunked path: first chunk dynamic, second chunk static.
+    tr_b = _mk_trainer(tiny_dataset, "mmssl", **{**kw, "train.steps_per_dispatch": 0})
+    ms_a, ms_b = [], []
+    for idx in range(6):
+        ms_a.append(np.asarray(tr_a.train_batch(idx)))
+        # drive tr_b identically but force the dynamic path throughout
+        tr_b._densified = False
+        ms_b.append(np.asarray(tr_b.train_batch(idx)))
+    assert tr_a._densified and not tr_b._densified
+    np.testing.assert_allclose(np.stack(ms_a), np.stack(ms_b), rtol=1e-5, atol=1e-6)
+
+    tr_c = _mk_trainer(tiny_dataset, "mmssl", **{**kw, "train.steps_per_dispatch": 4})
+    m1 = np.asarray(tr_c.train_chunk(0, 4))
+    assert tr_c._densified
+    m2 = np.asarray(tr_c.train_chunk(4, 4))
+    assert np.isfinite(m1).all() and np.isfinite(m2).all()
+
+
 def test_mmssl_bf16_compute(tiny_dataset):
     """compute_dtype='bfloat16' (bf16 matmul inputs, f32 accumulation for the
     discriminator / projector / u_sim GEMMs) trains to losses close to the
