@@ -5,6 +5,8 @@ Replaces the reference's ``python main.py --dataset X`` (MMSSL/main.py:
 
   python -m mmssl_tpu.cli train --dataset baby --model mmssl --data-path D
   python -m mmssl_tpu.cli eval  --dataset baby --model mmssl --data-path D --checkpoint-dir C
+  python -m mmssl_tpu.cli recommend --dataset baby --model mmssl --data-path D \
+      --checkpoint-dir C --users 1,2,3 --top-k 20
   python -m mmssl_tpu.cli synth --out D --name demo --users 500 --items 200
 
 Arbitrary config overrides ride ``--set key=value`` (dotted keys, python
@@ -84,6 +86,41 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_recommend(args) -> int:
+    """Serve top-k recommendations from a (checkpoint-restored) model, or
+    export the materialized embedding tables for an external ANN stack."""
+    from mmssl_tpu.serve import RecommendEngine
+    from mmssl_tpu.train.trainer import Trainer
+    from mmssl_tpu.utils.logging import MetricLogger
+
+    cfg = _build_cfg(args)
+    trainer = Trainer(cfg, logger=MetricLogger(quiet=True))
+    if args.checkpoint_dir:
+        trainer.resume()
+    engine = RecommendEngine.from_trainer(trainer)
+    if args.export:
+        paths = engine.export_embeddings(args.export)
+        print(json.dumps({"exported": paths}))
+        return 0
+    if args.users:
+        users = [int(u) for u in args.users.split(",")]
+    else:
+        users = list(range(trainer.dataset.n_users))
+    ids, scores = engine.recommend(users, k=args.top_k, exclude_train=not args.include_train)
+    out = sys.stdout if not args.out else open(args.out, "w")
+    try:
+        for n, u in enumerate(users):
+            out.write(json.dumps({
+                "user": u,
+                "items": [int(x) for x in ids[n]],
+                "scores": [round(float(x), 6) for x in scores[n]],
+            }) + "\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def cmd_synth(args) -> int:
     from mmssl_tpu.data.synthetic import write_synthetic_dataset
 
@@ -142,6 +179,17 @@ def main(argv=None) -> int:
     common(sp)
     sp.add_argument("--split", default="test", choices=["val", "test"])
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("recommend", help="top-k retrieval / embedding export")
+    common(sp)
+    sp.add_argument("--users", default="", help="comma-separated user ids (default: all users)")
+    sp.add_argument("--top-k", type=int, default=20)
+    sp.add_argument("--include-train", action="store_true",
+                    help="do not exclude the user's train interactions")
+    sp.add_argument("--out", default="", help="write JSONL here instead of stdout")
+    sp.add_argument("--export", default="",
+                    help="export user/item embedding tables (.npy + manifest) to this dir and exit")
+    sp.set_defaults(fn=cmd_recommend)
 
     sp = sub.add_parser("synth", help="generate a synthetic dataset")
     sp.add_argument("--out", required=True)

@@ -1,0 +1,203 @@
+"""Batch inference / serving path.
+
+The reference has no serving story at all — its only "inference" is the
+in-training evaluation harness (``MMSSL/utility/batch_test.py:112-169``),
+which recomputes the full forward and ships [B, n_items] score matrices to a
+host process pool.  Production retrieval for this model family is two-stage:
+
+  1. **materialize** — one eval-mode forward produces the final fused user
+     and item embedding tables (the model collapses to a biencoder at
+     inference: score(u, i) = <user_emb[u], item_emb[i]>).
+  2. **retrieve** — top-k over the item catalog per user with the user's
+     train interactions masked out, entirely on device: one MXU matmul +
+     `lax.top_k` per request batch, no host round-trips until the final
+     [B, k] id/score fetch.
+
+``RecommendEngine`` owns stage-1 output as device-resident arrays and
+compiles stage-2 once per (batch_size, k) shape.  Under a mesh it reuses the
+catalog-sharded distributed top-k (``parallel/eval_sharded.py``) so the item
+axis scales with chips.  ``export_embeddings`` writes the tables as .npy for
+external ANN servers (ScaNN/Faiss-style) — at which point this engine is the
+exact-scoring oracle those systems approximate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("k", "exclude_train"))
+def _topk_batch(
+    u_rows: jnp.ndarray,  # [B, d] user embeddings for the request batch
+    i_emb: jnp.ndarray,  # [n_items, d]
+    train_rows: jnp.ndarray,  # int32 [B, max_deg], -1 pad (ignored if not exclude_train)
+    k: int,
+    exclude_train: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-catalog scores -> (top-k scores, top-k item ids)."""
+    n_items = i_emb.shape[0]
+    scores = u_rows @ i_emb.T  # [B, n_items]
+    if exclude_train:
+        rows = jnp.where(train_rows < 0, n_items, train_rows)
+        bix = jnp.arange(scores.shape[0], dtype=jnp.int32)[:, None]
+        scores = scores.at[bix, rows].set(-jnp.inf, mode="drop")
+    top_scores, top_ids = jax.lax.top_k(scores, k)
+    return top_scores, top_ids
+
+
+@jax.jit
+def _score_pairs(
+    u_rows: jnp.ndarray,  # [B, d]
+    i_rows: jnp.ndarray,  # [B, d]
+) -> jnp.ndarray:
+    return jnp.sum(u_rows * i_rows, axis=1)
+
+
+class RecommendEngine:
+    """Top-k retrieval over materialized embeddings.
+
+    Build from a fitted/restored :class:`~mmssl_tpu.train.trainer.Trainer`
+    (``RecommendEngine.from_trainer``) or directly from embedding tables.
+
+    ``batch_size`` fixes the compiled request shape: requests are padded up
+    to it so every call hits the same compiled program.
+    """
+
+    def __init__(
+        self,
+        user_emb: jnp.ndarray,
+        item_emb: jnp.ndarray,
+        train_pad: Optional[np.ndarray] = None,  # int32 [n_users, max_deg], -1 pad
+        batch_size: int = 1024,
+        mesh=None,
+    ):
+        self.user_emb = jnp.asarray(user_emb)
+        self.item_emb = jnp.asarray(item_emb)
+        self.n_users, self.d = self.user_emb.shape
+        self.n_items = self.item_emb.shape[0]
+        if train_pad is None:
+            train_pad = np.full((self.n_users, 1), -1, dtype=np.int32)
+        self.train_pad = jnp.asarray(train_pad, dtype=jnp.int32)
+        self.batch_size = int(batch_size)
+        self._sharded_topk = None
+        self._i_emb_sharded = None
+        if mesh is not None:
+            model_p = mesh.shape.get("model", 1)
+            if model_p > 1 and self.n_items % model_p == 0:
+                from mmssl_tpu.parallel.eval_sharded import shard_items
+
+                self._i_emb_sharded = shard_items(mesh, self.item_emb)
+                self._sharded_mesh = mesh
+                self._sharded_k: Dict[int, object] = {}
+
+    @classmethod
+    def from_trainer(cls, trainer, batch_size: int = 1024) -> "RecommendEngine":
+        """Materialize eval-mode embeddings from a Trainer (fresh, fitted, or
+        checkpoint-restored) and wrap them for retrieval."""
+        u_emb, i_emb = trainer.eval_embeddings()
+        train_pad, _ = trainer.ds.padded_split("train")
+        return cls(
+            u_emb, i_emb, train_pad=train_pad, batch_size=batch_size, mesh=trainer.mesh
+        )
+
+    # ------------------------------------------------------------------
+    def recommend(
+        self,
+        user_ids: Iterable[int],
+        k: int = 20,
+        exclude_train: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-``k`` items per user.
+
+        Returns ``(item_ids [n, k] int32, scores [n, k] float32)`` in request
+        order.  Known train interactions are excluded by default (the
+        standard recommendation protocol; pass ``exclude_train=False`` for
+        raw similarity search).
+        """
+        users = np.asarray(list(user_ids), dtype=np.int32)
+        if users.ndim != 1:
+            raise ValueError("user_ids must be a flat sequence of ints")
+        if users.size and (users.min() < 0 or users.max() >= self.n_users):
+            raise ValueError(f"user id out of range [0, {self.n_users})")
+        k = int(k)
+        if not 1 <= k <= self.n_items:
+            raise ValueError(f"k must be in [1, {self.n_items}]")
+        out_ids = np.empty((len(users), k), dtype=np.int32)
+        out_scores = np.empty((len(users), k), dtype=np.float32)
+        bs = self.batch_size
+        for start in range(0, len(users), bs):
+            batch = users[start : start + bs]
+            n = len(batch)
+            if n < bs:  # pad to the compiled shape
+                batch = np.concatenate([batch, np.zeros(bs - n, dtype=np.int32)])
+            bj = jnp.asarray(batch)
+            if self._sharded_topk_for(k) is not None:
+                scores, ids = self._sharded_topk_for(k)(
+                    self.user_emb[bj],
+                    self._i_emb_sharded,
+                    self.train_pad[bj] if exclude_train
+                    else jnp.full_like(self.train_pad[bj], -1),
+                )
+                scores, ids = scores[:, :k], ids[:, :k]
+            else:
+                scores, ids = _topk_batch(
+                    self.user_emb[bj], self.item_emb, self.train_pad[bj], k, exclude_train
+                )
+            out_ids[start : start + n] = np.asarray(ids)[:n]
+            out_scores[start : start + n] = np.asarray(scores)[:n]
+        return out_ids, out_scores
+
+    def _sharded_topk_for(self, k: int):
+        if self._i_emb_sharded is None:
+            return None
+        if k not in self._sharded_k:
+            from mmssl_tpu.parallel.eval_sharded import make_sharded_topk
+
+            self._sharded_k[k] = make_sharded_topk(self._sharded_mesh, k)
+        return self._sharded_k[k]
+
+    def score(self, user_ids: Iterable[int], item_ids: Iterable[int]) -> np.ndarray:
+        """Pointwise scores for aligned (user, item) pairs."""
+        u = np.asarray(list(user_ids), dtype=np.int32)
+        i = np.asarray(list(item_ids), dtype=np.int32)
+        if u.shape != i.shape:
+            raise ValueError("user_ids and item_ids must align")
+        return np.asarray(_score_pairs(self.user_emb[jnp.asarray(u)], self.item_emb[jnp.asarray(i)]))
+
+    # ------------------------------------------------------------------
+    def export_embeddings(self, directory: str) -> Dict[str, str]:
+        """Write user/item tables as .npy + a manifest, for external ANN
+        serving stacks.  Returns the written paths."""
+        os.makedirs(directory, exist_ok=True)
+        paths = {
+            "user_emb": os.path.join(directory, "user_emb.npy"),
+            "item_emb": os.path.join(directory, "item_emb.npy"),
+            "manifest": os.path.join(directory, "manifest.json"),
+        }
+        np.save(paths["user_emb"], np.asarray(self.user_emb))
+        np.save(paths["item_emb"], np.asarray(self.item_emb))
+        with open(paths["manifest"], "w") as f:
+            json.dump(
+                {
+                    "n_users": int(self.n_users),
+                    "n_items": int(self.n_items),
+                    "dim": int(self.d),
+                    "score": "dot_product",
+                    "files": {k: os.path.basename(v) for k, v in paths.items() if k != "manifest"},
+                },
+                f,
+            )
+        return paths
+
+    @classmethod
+    def load(cls, directory: str, train_pad: Optional[np.ndarray] = None, **kw) -> "RecommendEngine":
+        u = np.load(os.path.join(directory, "user_emb.npy"))
+        i = np.load(os.path.join(directory, "item_emb.npy"))
+        return cls(u, i, train_pad=train_pad, **kw)

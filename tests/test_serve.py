@@ -1,0 +1,141 @@
+"""Serving path: RecommendEngine retrieval vs a numpy oracle, train-item
+exclusion, pointwise scoring, export/load round-trip, CLI subcommand."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmssl_tpu.serve import RecommendEngine
+
+
+@pytest.fixture(scope="module")
+def tables():
+    rng = np.random.default_rng(3)
+    n_users, n_items, d = 23, 17, 8
+    u = rng.normal(size=(n_users, d)).astype(np.float32)
+    i = rng.normal(size=(n_items, d)).astype(np.float32)
+    # ragged train lists, -1 padded
+    max_deg = 4
+    train_pad = np.full((n_users, max_deg), -1, dtype=np.int32)
+    for uu in range(n_users):
+        deg = rng.integers(0, max_deg + 1)
+        train_pad[uu, :deg] = rng.choice(n_items, size=deg, replace=False)
+    return u, i, train_pad
+
+
+def _oracle_topk(u, i, train_pad, users, k, exclude):
+    scores = u[users] @ i.T
+    if exclude:
+        for r, uu in enumerate(users):
+            for it in train_pad[uu]:
+                if it >= 0:
+                    scores[r, it] = -np.inf
+    ids = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return ids, np.take_along_axis(scores, ids, axis=1)
+
+
+def test_recommend_matches_oracle(tables):
+    u, i, train_pad = tables
+    eng = RecommendEngine(u, i, train_pad=train_pad, batch_size=8)
+    users = [0, 5, 22, 7, 7, 13]  # crosses a batch boundary (bs=8 after padding)
+    ids, scores = eng.recommend(users, k=5)
+    oids, oscores = _oracle_topk(u, i, train_pad, np.array(users), 5, True)
+    np.testing.assert_array_equal(ids, oids)
+    np.testing.assert_allclose(scores, oscores, rtol=1e-5)
+    # excluded items never appear
+    for r, uu in enumerate(users):
+        assert not (set(ids[r]) & set(t for t in train_pad[uu] if t >= 0))
+
+
+def test_recommend_include_train(tables):
+    u, i, train_pad = tables
+    eng = RecommendEngine(u, i, train_pad=train_pad, batch_size=8)
+    users = list(range(23))
+    ids, _ = eng.recommend(users, k=3, exclude_train=False)
+    oids, _ = _oracle_topk(u, i, train_pad, np.array(users), 3, False)
+    np.testing.assert_array_equal(ids, oids)
+
+
+def test_recommend_validation(tables):
+    u, i, train_pad = tables
+    eng = RecommendEngine(u, i, train_pad=train_pad)
+    with pytest.raises(ValueError):
+        eng.recommend([99], k=5)
+    with pytest.raises(ValueError):
+        eng.recommend([0], k=0)
+    with pytest.raises(ValueError):
+        eng.recommend([0], k=10_000)
+
+
+def test_score_pairs(tables):
+    u, i, train_pad = tables
+    eng = RecommendEngine(u, i)
+    got = eng.score([1, 2, 3], [4, 5, 6])
+    want = np.sum(u[[1, 2, 3]] * i[[4, 5, 6]], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    with pytest.raises(ValueError):
+        eng.score([1, 2], [3])
+
+
+def test_export_load_roundtrip(tables, tmp_path):
+    u, i, train_pad = tables
+    eng = RecommendEngine(u, i, train_pad=train_pad)
+    paths = eng.export_embeddings(str(tmp_path / "emb"))
+    manifest = json.load(open(paths["manifest"]))
+    assert manifest["n_items"] == 17 and manifest["score"] == "dot_product"
+    eng2 = RecommendEngine.load(str(tmp_path / "emb"), train_pad=train_pad)
+    a, _ = eng.recommend([0, 1], k=4)
+    b, _ = eng2.recommend([0, 1], k=4)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_from_trainer_consistent_with_eval(tiny_dataset):
+    """Engine embeddings == Trainer.eval_embeddings; top-1 with exclusion
+    agrees with the evaluator's protocol-masked ranking."""
+    from mmssl_tpu.config import preset
+    from mmssl_tpu.train.trainer import Trainer
+    from mmssl_tpu.utils.logging import MetricLogger
+
+    cfg = preset(
+        "tiny", "mf",
+        **{"data.batch_size": 16, "model.embed_size": 8, "eval.ks": (3, 5)},
+    )
+    trainer = Trainer(cfg, dataset=tiny_dataset, logger=MetricLogger(quiet=True))
+    eng = RecommendEngine.from_trainer(trainer, batch_size=16)
+    u_emb, i_emb = trainer.eval_embeddings()
+    np.testing.assert_allclose(np.asarray(eng.user_emb), np.asarray(u_emb))
+    ids, _ = eng.recommend(range(tiny_dataset.n_users), k=5)
+    train_pad, _ = tiny_dataset.padded_split("train")
+    oids, _ = _oracle_topk(
+        np.asarray(u_emb), np.asarray(i_emb), train_pad,
+        np.arange(tiny_dataset.n_users), 5, True,
+    )
+    np.testing.assert_array_equal(ids, oids)
+
+
+def test_cli_recommend(tmp_path, capsys):
+    from mmssl_tpu.cli.main import main
+
+    rc = main(["synth", "--out", str(tmp_path), "--name", "d", "--users", "40", "--items", "20"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main([
+        "recommend", "--dataset", "d", "--model", "mf", "--data-path", str(tmp_path),
+        "--users", "0,3,9", "--top-k", "4",
+        "--set", "model.embed_size=8",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [l["user"] for l in lines] == [0, 3, 9]
+    assert all(len(l["items"]) == 4 for l in lines)
+
+    rc = main([
+        "recommend", "--dataset", "d", "--model", "mf", "--data-path", str(tmp_path),
+        "--export", str(tmp_path / "emb"),
+        "--set", "model.embed_size=8",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "user_emb" in out["exported"]
