@@ -124,22 +124,32 @@ def u_sim(
 ) -> jnp.ndarray:
     """``u_sim_calculation``: full-catalog scores, known interactions zeroed,
     rows L2-normalized (main.py:283-298).  One MXU matmul; the reference's
-    item-chunking is a GPU-memory workaround with identical numerics."""
+    item-chunking is a GPU-memory workaround with identical numerics.
+
+    Under a low-precision ``dtype`` the normalized rows are also STORED at
+    that dtype: every consumer of these [B, n_items] matrices (the
+    discriminator tower, the WGAN-GP interpolates, the densification top-k)
+    either casts them to ``dtype`` at its first matmul anyway or is
+    rank-based, so keeping them f32 in HBM only doubles the DMA bytes of the
+    widest activations in the step (mask/normalize math stays f32)."""
     sim = matmul(user_rows, item_emb.T, dtype) * (1.0 - u_ui)
-    return l2_normalize(sim, axis=1)
+    sim = l2_normalize(sim, axis=1)
+    return sim if dtype is None else sim.astype(dtype)
 
 
 def gumbel_soften_rows(
-    u_ui: jnp.ndarray, ui_sim: jnp.ndarray, rng: jax.Array, cfg: ExperimentConfig
+    u_ui: jnp.ndarray, ui_sim: jnp.ndarray, rng: jax.Array, cfg: ExperimentConfig, dtype=None
 ) -> jnp.ndarray:
     """'Real' rows for the discriminator (main.py:349-352, quirk Q4):
-    softmax(u_ui + scale * gumbel / tau) + ui_sim * ui_pre_scale, L2 rows."""
+    softmax(u_ui + scale * gumbel / tau) + ui_sim * ui_pre_scale, L2 rows.
+    Math in f32; stored at ``dtype`` when set (see u_sim)."""
     t = cfg.train
     u = jax.random.uniform(rng, u_ui.shape, dtype=jnp.float32)
     gumbel = -jnp.log(-jnp.log(u + 1e-8) + 1e-8)
     soft = jax.nn.softmax(u_ui + t.log_log_scale * gumbel / t.real_data_tau, axis=1)
-    soft = soft + ui_sim * t.ui_pre_scale
-    return l2_normalize(soft, axis=1)
+    soft = soft + ui_sim.astype(jnp.float32) * t.ui_pre_scale
+    soft = l2_normalize(soft, axis=1)
+    return soft if dtype is None else soft.astype(dtype)
 
 
 def gradient_penalty(
@@ -154,15 +164,19 @@ def gradient_penalty(
     term the reference gets from autograd.grad(create_graph=True)."""
     r_alpha, r_drop = jax.random.split(rng)
     alpha = jax.random.uniform(r_alpha, (xr.shape[0], 1), dtype=jnp.float32)
-    interp = alpha * xr + (1.0 - alpha) * xf
+    # keep the interpolates at the storage dtype of xr/xf (f32 math would
+    # re-materialize the widest activation of the step at double width)
+    interp = (alpha * xr + (1.0 - alpha) * xf).astype(xr.dtype)
 
     def d_sum(x):
         return jnp.sum(
             apply_discriminator(d_params, x, cfg.model, cfg.parity, train=True, rng=r_drop)
         )
 
-    grads = jax.grad(d_sum)(interp)  # [MB, n_items]
-    # safe norm: zero-grad rows take the clamped branch (torch subgradient 0)
+    grads = jax.grad(d_sum)(interp)  # [MB, n_items], at interp's dtype
+    # safe norm: zero-grad rows take the clamped branch (torch subgradient 0);
+    # square-sum in f32 (a 7050-element bf16 accumulation would lose the norm)
+    grads = grads.astype(jnp.float32)
     norms = jnp.sqrt(jnp.maximum(jnp.sum(grads**2, axis=1), 1e-24))
     return jnp.mean((norms - 1.0) ** 2) * cfg.train.gp_lambda
 
@@ -260,7 +274,7 @@ def mmssl_train_step_impl(
     ui_sim = u_sim(uaD[users], iaD, u_ui, cdt)
     fake_sims = [u_sim(out.d_user_feats[m][users], out.d_item_feats[m], u_ui, cdt) for m in modalities]
     inputf = jnp.concatenate(fake_sims, axis=0)  # [M*B, n_items]
-    real = gumbel_soften_rows(u_ui, ui_sim, r_gum, cfg)
+    real = gumbel_soften_rows(u_ui, ui_sim, r_gum, cfg, cdt)
     inputr = jnp.concatenate([real] * len(modalities), axis=0)
 
     def d_loss_fn(d_params):

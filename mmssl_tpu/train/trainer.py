@@ -42,6 +42,7 @@ from mmssl_tpu.models import (
     init_mmssl,
     init_ngcf,
 )
+from mmssl_tpu.models.common import resolve_dtype
 from mmssl_tpu.models.lattice import build_original_adjs
 from mmssl_tpu.models.micro import build_original_adjs_dense, build_original_adjs_sparse
 from mmssl_tpu.models.mmssl import BipartiteGraphs
@@ -154,8 +155,15 @@ class Trainer:
             gdtype = jnp.bfloat16 if cfg.model.graph_dtype == "bfloat16" else jnp.float32
             ui_g = sparse_to_dense_graph(ui_g, gdtype)
             iu_g = sparse_to_dense_graph(iu_g, gdtype)
+        # Pre-cast the (constant) modality feature matrices to the compute
+        # dtype once: matmul() would cast them on every step's operand read,
+        # paying f32 HBM bytes + a convert per use (the 4096-d visual matrix
+        # is 115 MB f32 at Baby scale, read by two dropout draws + their
+        # VJPs each step).  Numerics are identical to the per-step cast.
+        cdt = resolve_dtype(cfg.model.compute_dtype)
+        feats_c = self.feats if cdt is None else {m: f.astype(cdt) for m, f in self.feats.items()}
         self.consts = MMSSLConsts(
-            feats=self.feats,
+            feats=feats_c,
             ui=ui_g,
             iu=iu_g,
             train_pad=jnp.asarray(train_pad),
