@@ -77,10 +77,13 @@ def main() -> None:
     cfg = preset("baby_scale", "mmssl", **{
         "data.data_path": os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data"),
         "data.batch_size": BATCH,
-        # Production fast path: static graphs as dense bf16 MXU matmuls (the
-        # COO scatter is per-entry latency-bound) and bf16 inputs with f32
+        # Production fast path: static graphs as dense MXU matmuls (the COO
+        # scatter is per-entry latency-bound) stored as int8 entry counts +
+        # f32 row scale (halves the graph HBM reads, exact factorization of
+        # the row-constant normalized values), and bf16 inputs with f32
         # accumulation for the hot GEMMs (discriminator / projectors / u_sim).
         "model.graph_impl": "dense",
+        "model.graph_dtype": "int8",
         "model.compute_dtype": "bfloat16",
     })
     # Generate the modality features directly on device: the axon relay

@@ -110,7 +110,10 @@ class ModelConfig:
     # (tiny T*B*k capacity; a dense rebuild would re-scatter the full matrix
     # every T batches).
     graph_impl: str = "coo"  # coo | dense
-    graph_dtype: str = "bfloat16"  # dense-mode storage dtype: bfloat16 | float32
+    # dense-mode storage: bfloat16 | float32 values, or int8 entry counts +
+    # f32 row scale (halves graph HBM reads; exact for the row-constant
+    # normalized graphs — see ops/sparse.DenseGraph)
+    graph_dtype: str = "bfloat16"
     # Input dtype of the hot GEMMs (discriminator MLP, modality projectors,
     # full-catalog u_sim sweeps).  'bfloat16' casts the matmul operands to
     # bf16 with f32 accumulation (preferred_element_type) — the discriminator

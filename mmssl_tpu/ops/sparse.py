@@ -245,16 +245,27 @@ class DenseGraph:
     scatter latency.  bf16 storage halves HBM traffic; accumulation stays
     f32 (``preferred_element_type``).  Enabled via
     ``ModelConfig.graph_impl='dense'`` (COO stays the parity default).
+
+    int8 mode (``ModelConfig.graph_dtype='int8'``): the live normalized
+    graphs all have ROW-CONSTANT values (csr_norm(mean_flag=True) is
+    D^{-1/2}A, MMSSL/main.py:66-67; the joint norm_adj is D^{-1}(A+I)) —
+    so the matrix factors exactly into integer entry counts times a per-row
+    scale.  ``mat`` then stores the counts in int8 (halving the graph's HBM
+    read bytes, the dominant traffic of the propagation passes) and
+    ``row_scale`` carries the f32 per-row factor applied AFTER the f32-
+    accumulated matmul — numerically tighter than bf16 value storage (the
+    scale is never rounded to bf16).
     """
 
-    mat: jnp.ndarray  # [n_rows, n_cols], bf16 (default) or f32
+    mat: jnp.ndarray  # [n_rows, n_cols]: bf16/f32 values, or int8 counts
+    row_scale: Optional[jnp.ndarray] = None  # f32 [n_rows] (int8 mode)
 
     def tree_flatten(self):
-        return (self.mat,), None
+        return (self.mat, self.row_scale), None
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(mat=leaves[0])
+        return cls(mat=leaves[0], row_scale=leaves[1])
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -269,9 +280,71 @@ class DenseGraph:
         return self.mat.shape[1]
 
     def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
-        return jnp.matmul(
-            self.mat, x.astype(self.mat.dtype), preferred_element_type=jnp.float32
-        )
+        if self.row_scale is None:
+            return _dense_spmm(self.mat, x)
+        return _scaled_dense_spmm(self.mat, self.row_scale, x)
+
+
+@jax.custom_vjp
+def _dense_spmm(mat: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(mat, x.astype(mat.dtype), preferred_element_type=jnp.float32)
+
+
+def _dense_spmm_fwd(mat, x):
+    return _dense_spmm(mat, x), (mat, x)
+
+
+def _dense_spmm_bwd(res, g):
+    # Cast the incoming cotangent to the graph's storage dtype before the
+    # transposed product: without this the VJP matmul promotes to f32 —
+    # doubling both the MXU time and the HBM bytes of the adjacency read
+    # (the graph is the largest operand in the step).  f32 accumulation as
+    # in the forward; a bf16 graph therefore gives bf16-rounded input
+    # gradients, the standard mixed-precision contract.  The dmat cotangent
+    # is exact but DCE'd by XLA in every live path (graphs are data, never
+    # differentiated).
+    mat, x = res
+    gc = g.astype(mat.dtype)
+    gx = jnp.matmul(mat.T, gc, preferred_element_type=jnp.float32).astype(x.dtype)
+    dmat = jnp.matmul(gc, x.astype(mat.dtype).T, preferred_element_type=jnp.float32)
+    return dmat, gx
+
+
+_dense_spmm.defvjp(_dense_spmm_fwd, _dense_spmm_bwd)
+
+
+@jax.custom_vjp
+def _scaled_dense_spmm(mat: jnp.ndarray, scale: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """y = diag(scale) @ (mat @ x), mat holding integer entry counts (int8).
+
+    The int8->bf16 operand convert fuses into the dot's VMEM read, so the
+    HBM bytes of the graph read halve vs bf16 value storage; accumulation is
+    f32 and the f32 row scale applies after."""
+    cm = mat.astype(jnp.bfloat16) if mat.dtype != jnp.float32 else mat
+    y = jnp.matmul(cm, x.astype(cm.dtype), preferred_element_type=jnp.float32)
+    return y * scale[:, None]
+
+
+def _scaled_dense_spmm_fwd(mat, scale, x):
+    return _scaled_dense_spmm(mat, scale, x), (mat, scale, x)
+
+
+def _scaled_dense_spmm_bwd(res, g):
+    # d/dx [diag(s) C x] = C^T (s o g), with the cotangent cast to the matmul
+    # compute dtype (same mixed-precision contract as _dense_spmm_bwd).  The
+    # dmat/dscale cotangents are exact but DCE'd in every live path (graphs
+    # are data, never differentiated).
+    mat, scale, x = res
+    cm = mat.astype(jnp.bfloat16) if mat.dtype != jnp.float32 else mat
+    sg = (g * scale[:, None]).astype(cm.dtype)
+    gx = jnp.matmul(cm.T, sg, preferred_element_type=jnp.float32).astype(x.dtype)
+    cx = jnp.matmul(cm, x.astype(cm.dtype), preferred_element_type=jnp.float32)
+    dscale = jnp.sum(cx * g, axis=1)
+    dmat = jnp.matmul(sg, x.astype(cm.dtype).T, preferred_element_type=jnp.float32).astype(mat.dtype)
+    return dmat, dscale, gx
+
+
+_scaled_dense_spmm.defvjp(_scaled_dense_spmm_fwd, _scaled_dense_spmm_bwd)
 
 
 def dense_from_coo(
@@ -283,7 +356,20 @@ def dense_from_coo(
 ) -> DenseGraph:
     """Scatter a padded COO into a DenseGraph (duplicates sum, padding rows
     == n_rows dropped).  The f32 scatter-add happens once per build/rebuild
-    and is amortized over every subsequent matmul."""
+    and is amortized over every subsequent matmul.
+
+    ``dtype=jnp.int8`` requires row-constant values (val = scale[row] per
+    entry, true of every live normalized graph): entry COUNTS are stored in
+    int8 and the per-row scale in f32 (see DenseGraph docstring)."""
+    if dtype == jnp.int8:
+        live = (vals != 0.0) & (rows < shape[0])
+        ones = live.astype(jnp.int32)
+        counts = jnp.zeros(shape, jnp.int32).at[rows, cols].add(ones, mode="drop")
+        scale = jax.ops.segment_max(
+            jnp.where(live, vals, -jnp.inf), rows, num_segments=shape[0]
+        )
+        scale = jnp.where(jnp.isfinite(scale), scale, 0.0).astype(jnp.float32)
+        return DenseGraph(mat=counts.astype(jnp.int8), row_scale=scale)
     mat = jnp.zeros(shape, jnp.float32).at[rows, cols].add(vals, mode="drop")
     return DenseGraph(mat=mat.astype(dtype))
 

@@ -279,7 +279,15 @@ def mmssl_train_step_impl(
 
     def d_loss_fn(d_params):
         predf = apply_discriminator(d_params, inputf, cfg.model, cfg.parity, train=True, rng=r_df)
-        predr = apply_discriminator(d_params, inputr, cfg.model, cfg.parity, train=True, rng=r_dr)
+        # The reference scores inputr = cat([real]*M) (main.py:353) — M exact
+        # copies of the same B rows.  Scoring the unique B rows is equal in
+        # everything but the per-copy dropout draw: BatchNorm statistics over
+        # duplicated rows equal those over the unique rows, and
+        # mean(predr[duplicated]) == mean(predr[unique]) row-for-row, so the
+        # loss and its d_params gradient match in expectation exactly (and
+        # bit-for-bit with dropout off).  Halves the predr tower cost; the
+        # full-width inputr still feeds the gradient penalty below.
+        predr = apply_discriminator(d_params, real, cfg.model, cfg.parity, train=True, rng=r_dr)
         lossf = jnp.mean(predf)
         lossr = -jnp.mean(predr)
         gp = gradient_penalty(d_params, inputr, inputf, r_gp, cfg)

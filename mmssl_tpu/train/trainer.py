@@ -152,7 +152,7 @@ class Trainer:
         if cfg.model.graph_impl == "dense":
             from mmssl_tpu.ops.sparse import sparse_to_dense_graph
 
-            gdtype = jnp.bfloat16 if cfg.model.graph_dtype == "bfloat16" else jnp.float32
+            gdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8}[cfg.model.graph_dtype]
             ui_g = sparse_to_dense_graph(ui_g, gdtype)
             iu_g = sparse_to_dense_graph(iu_g, gdtype)
         # Pre-cast the (constant) modality feature matrices to the compute
@@ -263,7 +263,7 @@ class Trainer:
         if cfg.model.graph_impl == "dense":
             from mmssl_tpu.ops.sparse import sparse_to_dense_graph
 
-            gdtype = jnp.bfloat16 if cfg.model.graph_dtype == "bfloat16" else jnp.float32
+            gdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8}[cfg.model.graph_dtype]
             joint = sparse_to_dense_graph(joint, gdtype)
         self.sparse_mode = True
         original_adjs: Dict[str, Any] = {}

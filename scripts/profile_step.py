@@ -42,6 +42,7 @@ def main():
         "data.data_path": os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_data"),
         "data.batch_size": bench.BATCH,
         "model.graph_impl": "dense",
+        "model.graph_dtype": "int8",
         "model.compute_dtype": "bfloat16",
     })
     key = jax.random.key(0)

@@ -20,6 +20,22 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches():
+    """Drop compiled executables between test modules.
+
+    A full-suite run compiles hundreds of programs in one process; letting
+    them accumulate has produced rare SIGABRT/SIGSEGV crashes inside XLA CPU
+    ``backend_compile_and_load`` late in the run (the same tests pass in
+    isolation).  Per-module cache clearing keeps the live-executable count
+    bounded; recompiles within a module are unaffected."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def tiny_dataset(tmp_path_factory):
     """A ~50x30 synthetic dataset in the reference on-disk format."""

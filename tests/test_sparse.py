@@ -1,5 +1,6 @@
 """Sparse ops: normalizers vs reference math, SpMM vs dense, device renorm."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
@@ -183,4 +184,44 @@ def test_dense_rebuild_matches_coo_rebuild():
     np.testing.assert_allclose(
         np.asarray(dense.mat), np.asarray(sparse_to_dense_graph(coo, jnp.float32).mat),
         rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_dense_graph_int8_counts_mode():
+    """int8 counts + f32 row-scale mode: exact vs the COO SpMM (values are
+    row-constant so the factorization is lossless), including duplicates and
+    the VJP's input gradient."""
+    from mmssl_tpu.ops.sparse import SparseGraph, sparse_to_dense_graph
+
+    rng = np.random.default_rng(8)
+    A = _rand_csr(rng, 40, 25)
+    g = SparseGraph.from_scipy(csr_norm(A, mean_flag=True))
+    X = rng.normal(size=(25, 8)).astype(np.float32)
+    exact = np.asarray(g.spmm(jnp.asarray(X)))
+
+    d8 = sparse_to_dense_graph(g, jnp.int8)
+    assert d8.mat.dtype == jnp.int8 and d8.row_scale is not None
+    out8 = np.asarray(d8.spmm(jnp.asarray(X)))
+    assert out8.dtype == np.float32
+    # bf16 compute of binary counts x f32 inputs rounded to bf16
+    np.testing.assert_allclose(out8, exact, rtol=2e-2, atol=2e-2)
+
+    # duplicates sum into counts > 1
+    rows = jnp.asarray(np.array([0, 0, 1, 3], dtype=np.int32))
+    cols = jnp.asarray(np.array([2, 2, 0, 0], dtype=np.int32))
+    vals = jnp.asarray(np.array([0.5, 0.5, 1.0, 0.0], dtype=np.float32))
+    from mmssl_tpu.ops.sparse import dense_from_coo
+
+    d = dense_from_coo(rows, cols, vals, (3, 4), jnp.int8)
+    m = np.asarray(d.mat)
+    assert m[0, 2] == 2 and m[1, 0] == 1
+    np.testing.assert_allclose(np.asarray(d.row_scale), [0.5, 1.0, 0.0])
+
+    # VJP: d/dx matches the f32 dense graph's within bf16 rounding
+    d32 = sparse_to_dense_graph(g, jnp.float32)
+    gfn8 = jax.grad(lambda x: jnp.sum(d8.spmm(x) ** 2))
+    gfn32 = jax.grad(lambda x: jnp.sum(d32.spmm(x) ** 2))
+    np.testing.assert_allclose(
+        np.asarray(gfn8(jnp.asarray(X))), np.asarray(gfn32(jnp.asarray(X))),
+        rtol=3e-2, atol=3e-2,
     )

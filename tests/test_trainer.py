@@ -96,6 +96,26 @@ def test_mmssl_dense_graph_mode(tiny_dataset):
     assert np.isfinite(res["recall"]).all()
 
 
+def test_mmssl_dense_graph_int8_mode(tiny_dataset):
+    """graph_dtype='int8' (counts + f32 row scale) tracks the f32 dense path
+    step-for-step: the factorization is exact, only the matmul compute dtype
+    (bf16) differs."""
+    kw = {"train.m_topk_rate": 0.1, "train.steps_per_dispatch": 0,
+          "train.densify_period": 2, "model.graph_impl": "dense"}
+    tr_f32 = _mk_trainer(tiny_dataset, "mmssl", **{**kw, "model.graph_dtype": "float32"})
+    tr_i8 = _mk_trainer(tiny_dataset, "mmssl", **{**kw, "model.graph_dtype": "int8"})
+    import jax.numpy as jnp
+
+    assert tr_i8.consts.ui.mat.dtype == jnp.int8
+    assert tr_i8.consts.ui.row_scale is not None
+    for idx in range(4):
+        m_f32 = np.asarray(tr_f32.train_batch(idx))
+        m_i8 = np.asarray(tr_i8.train_batch(idx))
+        np.testing.assert_allclose(m_f32, m_i8, rtol=5e-2, atol=5e-2)
+    res = tr_i8.evaluate("val")
+    assert np.isfinite(res["recall"]).all()
+
+
 def test_mmssl_dense_graph_f32_exact(tiny_dataset):
     """f32 dense mode matches the COO path almost exactly step-for-step."""
     kw = {"train.m_topk_rate": 0.1, "train.steps_per_dispatch": 0,
