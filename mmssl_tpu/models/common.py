@@ -107,14 +107,15 @@ def batchnorm(p: dict, x: jnp.ndarray, eps: float = 1e-5, axis_name: Optional[st
     When ``axis_name`` is given the batch statistics are reduced across that
     mesh axis so data-parallel training matches single-device numerics.
     """
-    mean = jnp.mean(x, axis=0)
-    mean_sq = jnp.mean(x * x, axis=0)
+    xf = x.astype(jnp.float32)  # stats always accumulate in f32
+    mean = jnp.mean(xf, axis=0)
+    mean_sq = jnp.mean(xf * xf, axis=0)
     if axis_name is not None:
         mean = jax.lax.pmean(mean, axis_name)
         mean_sq = jax.lax.pmean(mean_sq, axis_name)
     var = mean_sq - mean * mean
     inv = jax.lax.rsqrt(var + eps)
-    return (x - mean) * inv * p["gamma"] + p["beta"]
+    return (xf - mean) * inv * p["gamma"] + p["beta"]
 
 
 def leaky_relu(x: jnp.ndarray, slope: float) -> jnp.ndarray:
