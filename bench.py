@@ -85,6 +85,7 @@ def main() -> None:
         "model.graph_impl": "dense",
         "model.graph_dtype": "int8",
         "model.compute_dtype": "bfloat16",
+        "train.d_moment_dtype": "bfloat16",
     })
     # Generate the modality features directly on device: the axon relay
     # uploads at ~1.2 MB/s, so shipping the 143 MB of synthetic features

@@ -140,6 +140,10 @@ class TrainConfig:
     lr: float = 5.5e-4  # parser.py:65
     d_lr: float = 3e-4  # parser.py:56
     d_betas: tuple[float, float] = (0.5, 0.9)  # main.py:74
+    # Storage dtype of the discriminator Adam moments ("float32" matches the
+    # reference exactly; "bfloat16" halves the optimizer-state HBM traffic of
+    # the biggest update fusion of the step — see train/optim.py).
+    d_moment_dtype: str = "float32"
     decay: float = 1e-5  # regs[0], parser.py:64
     feat_reg_decay: float = 1e-5  # parser.py:29
     cl_rate: float = 0.03  # parser.py:60

@@ -17,6 +17,7 @@ distribution family:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -59,21 +60,56 @@ def resolve_dtype(name: str):
     return None if name in ("float32", "f32", "") else jnp.dtype(name)
 
 
-def matmul(x: jnp.ndarray, y: jnp.ndarray, dtype=None) -> jnp.ndarray:
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _mp_matmul(x: jnp.ndarray, y: jnp.ndarray, dtype) -> jnp.ndarray:
+    return jnp.matmul(x.astype(dtype), y.astype(dtype), preferred_element_type=jnp.float32)
+
+
+def _mp_matmul_fwd(x, y, dtype):
+    return _mp_matmul(x, y, dtype), (x, y)
+
+
+def _mp_matmul_bwd(dtype, res, g):
+    # Cast the incoming cotangent to the forward compute dtype before the
+    # transposed products.  The default autodiff of `cast -> dot` keeps the
+    # cotangent f32 and the VJP dots run mixed f32xbf16 at half MXU rate;
+    # casting both VJP operands is the standard AMP backward contract (the
+    # forward already rounds its operands to the same dtype).  Accumulation
+    # stays f32, and gradients are cast back to the primal dtypes (weight
+    # gradients re-emerge f32 for the optimizer).
+    x, y = res
+    gc = g.astype(dtype)
+    dx = jnp.matmul(gc, y.astype(dtype).T, preferred_element_type=jnp.float32).astype(x.dtype)
+    dy = jnp.matmul(x.astype(dtype).T, gc, preferred_element_type=jnp.float32).astype(y.dtype)
+    return dx, dy
+
+
+_mp_matmul.defvjp(_mp_matmul_fwd, _mp_matmul_bwd)
+
+
+def matmul(x: jnp.ndarray, y: jnp.ndarray, dtype=None, mp_bwd: bool = False) -> jnp.ndarray:
     """MXU matmul with optional low-precision inputs and f32 accumulation.
 
     With ``dtype=jnp.bfloat16`` both operands are cast to bf16 (XLA fuses the
     casts into the matmul's operand reads) and the product accumulates in
     f32 via ``preferred_element_type`` — ~2x MXU throughput and half the HBM
     bytes per operand vs f32.  ``dtype=None`` is a plain f32 matmul (the
-    parity default)."""
+    parity default).
+
+    ``mp_bwd=True`` additionally rounds the backward cotangent to ``dtype``
+    (custom VJP) so the two transposed gradient dots also run at the bf16 MXU
+    rate instead of mixed f32xbf16.  custom_vjp functions cannot be
+    differentiated twice — only use on strictly first-order paths (the WGAN
+    gradient-penalty tower must keep the default backward)."""
     if dtype is None:
         return x @ y
+    if mp_bwd:
+        return _mp_matmul(x, y, dtype)
     return jnp.matmul(x.astype(dtype), y.astype(dtype), preferred_element_type=jnp.float32)
 
 
-def linear(p: dict, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
-    return matmul(x, p["w"], dtype) + p["b"]
+def linear(p: dict, x: jnp.ndarray, dtype=None, mp_bwd: bool = False) -> jnp.ndarray:
+    return matmul(x, p["w"], dtype, mp_bwd) + p["b"]
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:

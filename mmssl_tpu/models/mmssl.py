@@ -255,7 +255,11 @@ def _project_modalities(
             rng, sub = jax.random.split(rng)
         else:
             sub = None
-        projs.append(dropout(sub, linear(params["proj"][m], feats[m], dt), cfg.drop_rate, train))
+        # mp_bwd: the projectors only appear on first-order paths (the
+        # generator VJP); their weight-grad dots ride bf16 both ways.
+        projs.append(
+            dropout(sub, linear(params["proj"][m], feats[m], dt, mp_bwd=True), cfg.drop_rate, train)
+        )
     return jnp.concatenate(projs, axis=1)
 
 
@@ -438,8 +442,13 @@ def apply_discriminator(
     train: bool = True,
     rng: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
+    mp_bwd: bool = False,
 ) -> jnp.ndarray:
-    """Returns [B] scores in [0, 100] (quirk Q8: 100 * sigmoid)."""
+    """Returns [B] scores in [0, 100] (quirk Q8: 100 * sigmoid).
+
+    ``mp_bwd``: round backward cotangents of the Linear layers to the compute
+    dtype (see models/common.matmul) — only legal on strictly first-order
+    paths; the WGAN-GP tower (grad-of-grad) must leave it False."""
     slope = 1.0 if parity.discriminator_identity_leak else 0.01
     dt = resolve_dtype(cfg.compute_dtype)
     r1 = r2 = None
@@ -450,11 +459,11 @@ def apply_discriminator(
     # tried and measured SLOWER (14.0 vs 13.5 ms/step at Baby scale): the
     # inserted casts break XLA's GEMM+BN-stat fusions and the extra
     # materializations cost more than the halved elementwise bytes.
-    h = leaky_relu(linear(params["l1"], x, dt), slope)
+    h = leaky_relu(linear(params["l1"], x, dt, mp_bwd), slope)
     h = batchnorm(params["bn1"], h, axis_name=axis_name)
     h = dropout(r1, h, cfg.g_drop1, train)
-    h = leaky_relu(linear(params["l2"], h, dt), slope)
+    h = leaky_relu(linear(params["l2"], h, dt, mp_bwd), slope)
     h = batchnorm(params["bn2"], h, axis_name=axis_name)
     h = dropout(r2, h, cfg.g_drop2, train)
-    out = 100.0 * jax.nn.sigmoid(linear(params["l3"], h, dt))
+    out = 100.0 * jax.nn.sigmoid(linear(params["l3"], h, dt, mp_bwd))
     return out[:, 0]

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -39,8 +41,69 @@ def make_generator_optimizer(lr: float, constant_lr: bool = True, steps_per_epoc
     return optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2)
 
 
-def make_discriminator_optimizer(lr: float, betas=(0.5, 0.9)) -> optax.GradientTransformation:
-    return optax.adam(lr, b1=betas[0], b2=betas[1], eps=1e-8)
+def scale_by_adam_moments(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8, moment_dtype=None
+) -> optax.GradientTransformation:
+    """``optax.scale_by_adam`` with BOTH moments stored at ``moment_dtype``.
+
+    The update math always runs in f32 (stored moments are cast up, the new
+    moments cast back down for storage), so ``moment_dtype=None`` matches
+    optax.scale_by_adam; ``jnp.bfloat16`` halves the optimizer-state HBM
+    traffic of the update fusion — at Amazon-Baby scale the discriminator's
+    [n_items, n_items/4] layer makes that fusion the single most expensive op
+    of the train step (0.85 ms, ~7% of it; see scripts/profile_step.py), and
+    optax only exposes ``mu_dtype``.  bf16 second moments carry ~3 decimal
+    digits; for the WGAN discriminator (bounded [0,100] outputs, Q8) the
+    resulting <0.5% relative jitter on the per-parameter step size is far
+    below the noise injected by the Gumbel softening of its inputs.
+    """
+
+    def _store(x: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+        return x.astype(moment_dtype) if moment_dtype is not None else x.astype(like.dtype)
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=moment_dtype or p.dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count_inc = optax.safe_int32_increment(state.count)
+        bc1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
+
+        mu_f = jax.tree.map(
+            lambda g, m: b1 * m.astype(jnp.float32) + (1.0 - b1) * g.astype(jnp.float32),
+            updates, state.mu,
+        )
+        nu_f = jax.tree.map(
+            lambda g, v: b2 * v.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            updates, state.nu,
+        )
+        out = jax.tree.map(lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu_f, nu_f)
+        new_state = optax.ScaleByAdamState(
+            count=count_inc,
+            mu=jax.tree.map(_store, mu_f, state.mu),
+            nu=jax.tree.map(_store, nu_f, state.nu),
+        )
+        return out, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_discriminator_optimizer(
+    lr: float, betas=(0.5, 0.9), moment_dtype: str = "float32"
+) -> optax.GradientTransformation:
+    if moment_dtype in ("float32", "f32", ""):
+        return optax.adam(lr, b1=betas[0], b2=betas[1], eps=1e-8)
+    return optax.chain(
+        scale_by_adam_moments(b1=betas[0], b2=betas[1], eps=1e-8, moment_dtype=jnp.dtype(moment_dtype)),
+        optax.scale(-lr),
+    )
 
 
 def make_simple_optimizer(lr: float, steps_per_epoch: int,

@@ -121,6 +121,7 @@ def u_sim(
     item_emb: jnp.ndarray,  # [n_items, d]
     u_ui: jnp.ndarray,  # [B, n_items] binary interactions
     dtype=None,  # optional bf16 matmul inputs (ModelConfig.compute_dtype)
+    mp_bwd: bool = False,  # bf16 cotangents (first-order paths only)
 ) -> jnp.ndarray:
     """``u_sim_calculation``: full-catalog scores, known interactions zeroed,
     rows L2-normalized (main.py:283-298).  One MXU matmul; the reference's
@@ -132,7 +133,7 @@ def u_sim(
     either casts them to ``dtype`` at its first matmul anyway or is
     rank-based, so keeping them f32 in HBM only doubles the DMA bytes of the
     widest activations in the step (mask/normalize math stays f32)."""
-    sim = matmul(user_rows, item_emb.T, dtype) * (1.0 - u_ui)
+    sim = matmul(user_rows, item_emb.T, dtype, mp_bwd) * (1.0 - u_ui)
     sim = l2_normalize(sim, axis=1)
     return sim if dtype is None else sim.astype(dtype)
 
@@ -278,7 +279,11 @@ def mmssl_train_step_impl(
     inputr = jnp.concatenate([real] * len(modalities), axis=0)
 
     def d_loss_fn(d_params):
-        predf = apply_discriminator(d_params, inputf, cfg.model, cfg.parity, train=True, rng=r_df)
+        # mp_bwd: this tower is only differentiated once (w.r.t. d_params);
+        # the GP tower below keeps the default backward (grad-of-grad).
+        predf = apply_discriminator(
+            d_params, inputf, cfg.model, cfg.parity, train=True, rng=r_df, mp_bwd=True
+        )
         # The reference scores inputr = cat([real]*M) (main.py:353) — M exact
         # copies of the same B rows.  Scoring the unique B rows is equal in
         # everything but the per-copy dropout draw: BatchNorm statistics over
@@ -287,7 +292,9 @@ def mmssl_train_step_impl(
         # loss and its d_params gradient match in expectation exactly (and
         # bit-for-bit with dropout off).  Halves the predr tower cost; the
         # full-width inputr still feeds the gradient penalty below.
-        predr = apply_discriminator(d_params, real, cfg.model, cfg.parity, train=True, rng=r_dr)
+        predr = apply_discriminator(
+            d_params, real, cfg.model, cfg.parity, train=True, rng=r_dr, mp_bwd=True
+        )
         lossf = jnp.mean(predf)
         lossr = -jnp.mean(predr)
         gp = gradient_penalty(d_params, inputr, inputf, r_gp, cfg)
@@ -306,7 +313,7 @@ def mmssl_train_step_impl(
         fu, fi = o.g_user_feats, o.g_item_feats
         ua, ia = mmssl_combine(o.det(), fu, fi, cfg.model)
         mf, emb, reg = bpr_loss(ua[users], ia[pos], ia[neg], t.decay)
-        mod_u_sims = {m: u_sim(fu[m][users], fi[m], u_ui, cdt) for m in modalities}
+        mod_u_sims = {m: u_sim(fu[m][users], fi[m], u_ui, cdt, mp_bwd=True) for m in modalities}
         fr = feat_reg_loss(
             [fi[m] for m in modalities] + [fu[m] for m in modalities],
             n_items,
@@ -317,7 +324,9 @@ def mmssl_train_step_impl(
             cl = cl + infonce(o.mm_user_id[m][users], ua[users], t.cl_tau, eps=1e-8,
                               row_chunk=max(users.shape[0], 1))
         g_inputf = jnp.concatenate([mod_u_sims[m] for m in modalities], axis=0)
-        g_predf = apply_discriminator(d_params, g_inputf, cfg.model, cfg.parity, train=True, rng=r_gd)
+        g_predf = apply_discriminator(
+            d_params, g_inputf, cfg.model, cfg.parity, train=True, rng=r_gd, mp_bwd=True
+        )
         g_lossf = -jnp.mean(g_predf)
         total = mf + emb + reg + fr + t.cl_rate * cl + t.g_rate * g_lossf
         aux = {

@@ -177,7 +177,9 @@ class Trainer:
             decay_base=cfg.train.lr_decay_base,
             decay_interval=cfg.train.lr_decay_interval,
         )
-        self.d_opt = make_discriminator_optimizer(cfg.train.d_lr, cfg.train.d_betas)
+        self.d_opt = make_discriminator_optimizer(
+            cfg.train.d_lr, cfg.train.d_betas, moment_dtype=cfg.train.d_moment_dtype
+        )
         modalities = sorted(self.feats)
 
         def empty_graph(shape):
