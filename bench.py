@@ -86,6 +86,7 @@ def main() -> None:
         "model.graph_dtype": "int8",
         "model.compute_dtype": "bfloat16",
         "train.d_moment_dtype": "bfloat16",
+        "train.prng_impl": "rbg",
     })
     # Generate the modality features directly on device: the axon relay
     # uploads at ~1.2 MB/s, so shipping the 143 MB of synthetic features

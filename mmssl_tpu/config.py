@@ -144,6 +144,13 @@ class TrainConfig:
     # reference exactly; "bfloat16" halves the optimizer-state HBM traffic of
     # the biggest update fusion of the step — see train/optim.py).
     d_moment_dtype: str = "float32"
+    # PRNG implementation for the training key ("threefry2x32" is JAX's
+    # counter-based default; "rbg" lowers to the TPU-native RngBitGenerator
+    # and removes ~2.2 ms/step of in-fusion threefry at Amazon-Baby scale —
+    # the dropout masks/Gumbel noise draw the same distributions from a
+    # different stream).  Threaded from ONE root key, so either choice is
+    # fully deterministic given the seed.
+    prng_impl: str = "threefry2x32"
     decay: float = 1e-5  # regs[0], parser.py:64
     feat_reg_decay: float = 1e-5  # parser.py:29
     cl_rate: float = 0.03  # parser.py:60

@@ -35,7 +35,11 @@ def _internalize(tree: Any, template: Any) -> Any:
     """Re-wrap key data into typed keys where the template has keys."""
     def fix(restored, tmpl):
         if isinstance(tmpl, jax.Array) and jnp.issubdtype(tmpl.dtype, jax.dtypes.prng_key):
-            return jax.random.wrap_key_data(jnp.asarray(restored, dtype=jnp.uint32))
+            # Re-wrap with the template's PRNG impl (train.prng_impl may be
+            # rbg, whose key data is [4]xu32 vs threefry's [2]).
+            return jax.random.wrap_key_data(
+                jnp.asarray(restored, dtype=jnp.uint32), impl=jax.random.key_impl(tmpl)
+            )
         return restored
 
     return jax.tree.map(fix, tree, template)

@@ -104,7 +104,7 @@ class Trainer:
         from mmssl_tpu.utils.faults import FaultInjector
 
         self.fault_injector = FaultInjector(seed=cfg.train.seed)
-        self._rng = jax.random.key(cfg.train.seed)
+        self._rng = jax.random.key(cfg.train.seed, impl=cfg.train.prng_impl or None)
         self._build()
         self.ckpt = None
         if cfg.train.checkpoint_dir:
