@@ -66,28 +66,36 @@ def get_dataset():
     return load_dataset(cfg)
 
 
-def main() -> None:
+def get_config():
+    """The production fast-path config benchmarked by this script (also reused
+    by scripts/profile_step.py so profiles attribute the SAME program)."""
     from mmssl_tpu.config import preset
-    from mmssl_tpu.train.trainer import Trainer
-    from mmssl_tpu.utils.logging import MetricLogger
 
-    log(f"bench: devices = {jax.devices()}")
-    ds = get_dataset()
-    log(f"bench: {ds.stats_str()}")
-    cfg = preset("baby_scale", "mmssl", **{
+    return preset("baby_scale", "mmssl", **{
         "data.data_path": os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data"),
         "data.batch_size": BATCH,
         # Production fast path: static graphs as dense MXU matmuls (the COO
         # scatter is per-entry latency-bound) stored as int8 entry counts +
         # f32 row scale (halves the graph HBM reads, exact factorization of
-        # the row-constant normalized values), and bf16 inputs with f32
-        # accumulation for the hot GEMMs (discriminator / projectors / u_sim).
+        # the row-constant normalized values), bf16 inputs with f32
+        # accumulation for the hot GEMMs (discriminator / projectors / u_sim),
+        # and the TPU-native rbg PRNG for the training key stream.
         "model.graph_impl": "dense",
         "model.graph_dtype": "int8",
         "model.compute_dtype": "bfloat16",
         "train.d_moment_dtype": "bfloat16",
         "train.prng_impl": "rbg",
     })
+
+
+def main() -> None:
+    from mmssl_tpu.train.trainer import Trainer
+    from mmssl_tpu.utils.logging import MetricLogger
+
+    log(f"bench: devices = {jax.devices()}")
+    ds = get_dataset()
+    log(f"bench: {ds.stats_str()}")
+    cfg = get_config()
     # Generate the modality features directly on device: the axon relay
     # uploads at ~1.2 MB/s, so shipping the 143 MB of synthetic features
     # dominates warmup otherwise.  Step timing is content-independent.

@@ -130,6 +130,24 @@ class ModelConfig:
     # form up to fp rounding; see models/mmssl.modality_attention).
     # 'faithful' computes the reference's expression verbatim.
     attention_impl: str = "algebraic"  # algebraic | faithful
+    # Discriminator first layer on FAKE rows (the masked L2-normalized
+    # similarity rows, u_sim main.py:283-298) computed via the exact low-rank
+    # factorization  z1 = inv_r * (U @ (I^T W1) - sum_{j in items(u)} S[u,j]
+    # W1[j]) + b1  instead of materialized_rows @ W1: the fake rows are
+    # rank-embed_size plus a per-user sparse correction, so the three
+    # remaining [*, n_items] x [n_items, n_items/4] GEMMs of the step (predf
+    # forward + its W1 grad, G-step predf forward + its input grad) collapse
+    # to [*, d] GEMMs + one W1 row gather.  Exact in real arithmetic
+    # (reassociation only).  MEASURED NET-NEGATIVE on TPU v5e at Amazon-Baby
+    # scale (15.2 vs 10.0 ms/step): the replaced GEMMs already ran at MXU
+    # peak (~1.1 ms total), while the correction's W1-row gather
+    # materializes [B, max_deg, H] rank-3 intermediates (~1.4 ms) and the
+    # D-step W1 cotangent becomes a [B*max_deg, H]-row scatter-add into the
+    # [n_items, H] layer (~2.6 ms) — see docs/performance.md.  'auto'
+    # therefore resolves to 'off'; 'on' is available for experimentation
+    # (requires no duplicate per-user train items — the correction subtracts
+    # once per entry while the interaction mask is idempotent).
+    disc_lowrank: str = "auto"  # auto (= off) | on | off
 
 
 @dataclass(frozen=True)

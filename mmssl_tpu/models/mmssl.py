@@ -449,6 +449,24 @@ def apply_discriminator(
     ``mp_bwd``: round backward cotangents of the Linear layers to the compute
     dtype (see models/common.matmul) — only legal on strictly first-order
     paths; the WGAN-GP tower (grad-of-grad) must leave it False."""
+    dt = resolve_dtype(cfg.compute_dtype)
+    z1 = linear(params["l1"], x, dt, mp_bwd)
+    return discriminator_tower(params, z1, cfg, parity, train, rng, axis_name, mp_bwd)
+
+
+def discriminator_tower(
+    params: dict,
+    z1: jnp.ndarray,  # [B, n_items//4] first-layer affine output (pre-activation)
+    cfg: ModelConfig,
+    parity: ParityConfig,
+    train: bool = True,
+    rng: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
+    mp_bwd: bool = False,
+) -> jnp.ndarray:
+    """The discriminator from the first LeakyReLU on — split out so the
+    first-layer affine can be produced either directly (x @ W1 + b) or via
+    the low-rank fake-row factorization (steps_mmssl.disc_z1_lowrank)."""
     slope = 1.0 if parity.discriminator_identity_leak else 0.01
     dt = resolve_dtype(cfg.compute_dtype)
     r1 = r2 = None
@@ -459,7 +477,7 @@ def apply_discriminator(
     # tried and measured SLOWER (14.0 vs 13.5 ms/step at Baby scale): the
     # inserted casts break XLA's GEMM+BN-stat fusions and the extra
     # materializations cost more than the halved elementwise bytes.
-    h = leaky_relu(linear(params["l1"], x, dt, mp_bwd), slope)
+    h = leaky_relu(z1, slope)
     h = batchnorm(params["bn1"], h, axis_name=axis_name)
     h = dropout(r1, h, cfg.g_drop1, train)
     h = leaky_relu(linear(params["l2"], h, dt, mp_bwd), slope)

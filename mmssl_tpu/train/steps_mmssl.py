@@ -47,6 +47,7 @@ from mmssl_tpu.models.mmssl import (
     BipartiteGraphs,
     apply_discriminator,
     apply_mmssl,
+    discriminator_tower,
     mmssl_combine,
     mmssl_deterministic_branch,
     mmssl_fused_forward,
@@ -105,15 +106,83 @@ def graph_capacity(cfg: ExperimentConfig, n_items: int) -> int:
     return ((cap + 127) // 128) * 128
 
 
-def interaction_rows(train_pad: jnp.ndarray, users: jnp.ndarray, n_items: int) -> jnp.ndarray:
+def interaction_rows(item_rows: jnp.ndarray, n_items: int) -> jnp.ndarray:
     """Binary [B, n_items] rows of the raw interaction matrix for a user
     batch (the reference materializes scipy rows to dense GPU tensors,
-    main.py:285/349; here it is a static-shape scatter)."""
-    B = users.shape[0]
-    rows = train_pad[users]  # [B, max_deg]
-    rows = jnp.where(rows < 0, n_items, rows)  # OOB pad -> dropped
+    main.py:285/349; here it is a static-shape scatter).
+
+    ``item_rows`` is the gathered ``train_pad[users]`` ([B, max_deg], -1
+    pad) — gathered once per step and shared with the low-rank fake-row
+    correction (fake_row_parts)."""
+    B = item_rows.shape[0]
+    rows = jnp.where(item_rows < 0, n_items, item_rows)  # OOB pad -> dropped
     out = jnp.zeros((B, n_items), dtype=jnp.float32)
     return out.at[jnp.arange(B)[:, None], rows].set(1.0, mode="drop")
+
+
+class FakeRowParts(NamedTuple):
+    """Factorized form of one modality's fake rows (u_sim output).
+
+    The fake row is  sim[b] = (S[b] * (1 - u_ui[b])) / r_b  with
+    S = U I^T — rank-d plus a per-user sparse correction at the user's train
+    items.  These parts let the discriminator's first layer be computed as
+      z1[b] = (U[b] @ (I^T W1) - sum_d coeff[b,d] * W1[item_rows[b,d]]) / r_b
+    without ever forming the [B, n_items] @ [n_items, H] product (and, under
+    autodiff, without its transposed VJP products either).
+    """
+
+    u: jnp.ndarray       # [B, d] gathered user embeddings (compute dtype)
+    i: jnp.ndarray       # [n_items, d] item embeddings (compute dtype)
+    sim: jnp.ndarray     # [B, n_items] the materialized normalized rows
+    inv_r: jnp.ndarray   # [B, 1] f32 inverse masked-row L2 norms
+    coeff: jnp.ndarray   # [B, max_deg] f32 S values at the train items (0 at pad)
+    item_rows: jnp.ndarray  # int32 [B, max_deg] train item ids (-1 pad)
+
+
+def fake_row_parts(
+    user_rows: jnp.ndarray,  # [B, d]
+    item_emb: jnp.ndarray,  # [n_items, d]
+    u_ui: jnp.ndarray,  # [B, n_items]
+    item_rows: jnp.ndarray,  # int32 [B, max_deg] train_pad[users]
+    dtype=None,
+) -> FakeRowParts:
+    """u_sim (main.py:283-298) computed with its factorization retained.
+
+    ``sim`` is numerically identical to ``u_sim(...)`` (same masking /
+    l2_normalize / storage-dtype rounding) so the GP interpolates and the
+    densification top-k see the exact same rows as the direct path."""
+    n_items = item_emb.shape[0]
+    s = matmul(user_rows, item_emb.T, dtype)  # [B, n_items], f32 accumulation
+    masked = s * (1.0 - u_ui)
+    sim = l2_normalize(masked, axis=1)
+    sim = sim if dtype is None else sim.astype(dtype)
+    inv_r = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(masked * masked, axis=1, keepdims=True), 1e-24))
+    idx = jnp.clip(item_rows, 0, n_items - 1)
+    coeff = jnp.take_along_axis(s, idx, axis=1) * (item_rows >= 0)
+    return FakeRowParts(user_rows, item_emb, sim, inv_r, coeff, item_rows)
+
+
+def disc_z1_lowrank(l1: dict, parts: FakeRowParts, dtype=None) -> jnp.ndarray:
+    """Discriminator first-layer affine on fake rows via the exact low-rank
+    factorization (ModelConfig.disc_lowrank): replaces the
+    [B, n_items] x [n_items, H] GEMM (and, under autodiff, its two transposed
+    VJP GEMMs) with [*, d]-thin GEMMs plus a B*max_deg-row gather of W1.
+
+    Composed from cheap primitives so reverse-mode AD derives the equally
+    cheap backward: the U/I cotangents arrive through d-width GEMMs and the
+    W1 cotangent through the gather's scatter-add — no [*, n_items] x
+    [n_items, H] product appears in either direction."""
+    w, b = l1["w"], l1["b"]
+    itw = matmul(parts.i.T, w, dtype)  # [d, H]
+    z = matmul(parts.u, itw, dtype)  # [B, H]
+    idx = jnp.clip(parts.item_rows, 0, w.shape[0] - 1)
+    w_rows = w[idx]  # [B, max_deg, H] gather (pad rows read row 0, coeff 0)
+    cdt = dtype or w_rows.dtype
+    corr = jnp.einsum(
+        "bd,bdh->bh", parts.coeff.astype(cdt), w_rows.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    return (z - corr) * parts.inv_r + b
 
 
 def u_sim(
@@ -254,7 +323,11 @@ def mmssl_train_step_impl(
         ui=consts.ui, iu=consts.iu, mod_ui=state.mod_ui, mod_iu=state.mod_iu,
         use_init=None if use_init_static is False else state.use_init,
     )
-    u_ui = interaction_rows(consts.train_pad, users, n_items)
+    item_rows = consts.train_pad[users]  # [B, max_deg], shared by u_ui + lowrank
+    u_ui = interaction_rows(item_rows, n_items)
+    # Static: resolved by the Trainer ('auto' -> 'on'/'off' given dtype,
+    # max_deg, and the duplicate-train-items check).
+    lowrank = cfg.model.disc_lowrank == "on"
 
     # ONE fused propagation pass for both per-batch forwards (the reference
     # runs two, main.py:339/363: a no-grad forward for the D step and a full
@@ -273,17 +346,28 @@ def mmssl_train_step_impl(
     cdt = resolve_dtype(cfg.model.compute_dtype)
     uaD, iaD = mmssl_combine(out.det(), out.d_user_feats, out.d_item_feats, cfg.model)
     ui_sim = u_sim(uaD[users], iaD, u_ui, cdt)
-    fake_sims = [u_sim(out.d_user_feats[m][users], out.d_item_feats[m], u_ui, cdt) for m in modalities]
-    inputf = jnp.concatenate(fake_sims, axis=0)  # [M*B, n_items]
+    d_parts = {
+        m: fake_row_parts(out.d_user_feats[m][users], out.d_item_feats[m], u_ui, item_rows, cdt)
+        for m in modalities
+    }
+    inputf = jnp.concatenate([d_parts[m].sim for m in modalities], axis=0)  # [M*B, n_items]
     real = gumbel_soften_rows(u_ui, ui_sim, r_gum, cfg, cdt)
     inputr = jnp.concatenate([real] * len(modalities), axis=0)
 
     def d_loss_fn(d_params):
         # mp_bwd: this tower is only differentiated once (w.r.t. d_params);
         # the GP tower below keeps the default backward (grad-of-grad).
-        predf = apply_discriminator(
-            d_params, inputf, cfg.model, cfg.parity, train=True, rng=r_df, mp_bwd=True
-        )
+        if lowrank:
+            z1 = jnp.concatenate(
+                [disc_z1_lowrank(d_params["l1"], d_parts[m], cdt) for m in modalities], axis=0
+            )
+            predf = discriminator_tower(
+                d_params, z1, cfg.model, cfg.parity, train=True, rng=r_df, mp_bwd=True
+            )
+        else:
+            predf = apply_discriminator(
+                d_params, inputf, cfg.model, cfg.parity, train=True, rng=r_df, mp_bwd=True
+            )
         # The reference scores inputr = cat([real]*M) (main.py:353) — M exact
         # copies of the same B rows.  Scoring the unique B rows is equal in
         # everything but the per-copy dropout draw: BatchNorm statistics over
@@ -313,7 +397,6 @@ def mmssl_train_step_impl(
         fu, fi = o.g_user_feats, o.g_item_feats
         ua, ia = mmssl_combine(o.det(), fu, fi, cfg.model)
         mf, emb, reg = bpr_loss(ua[users], ia[pos], ia[neg], t.decay)
-        mod_u_sims = {m: u_sim(fu[m][users], fi[m], u_ui, cdt, mp_bwd=True) for m in modalities}
         fr = feat_reg_loss(
             [fi[m] for m in modalities] + [fu[m] for m in modalities],
             n_items,
@@ -323,10 +406,24 @@ def mmssl_train_step_impl(
         for m in modalities:
             cl = cl + infonce(o.mm_user_id[m][users], ua[users], t.cl_tau, eps=1e-8,
                               row_chunk=max(users.shape[0], 1))
-        g_inputf = jnp.concatenate([mod_u_sims[m] for m in modalities], axis=0)
-        g_predf = apply_discriminator(
-            d_params, g_inputf, cfg.model, cfg.parity, train=True, rng=r_gd, mp_bwd=True
-        )
+        if lowrank:
+            g_parts = {
+                m: fake_row_parts(fu[m][users], fi[m], u_ui, item_rows, cdt)
+                for m in modalities
+            }
+            mod_u_sims = {m: g_parts[m].sim for m in modalities}
+            z1 = jnp.concatenate(
+                [disc_z1_lowrank(d_params["l1"], g_parts[m], cdt) for m in modalities], axis=0
+            )
+            g_predf = discriminator_tower(
+                d_params, z1, cfg.model, cfg.parity, train=True, rng=r_gd, mp_bwd=True
+            )
+        else:
+            mod_u_sims = {m: u_sim(fu[m][users], fi[m], u_ui, cdt, mp_bwd=True) for m in modalities}
+            g_inputf = jnp.concatenate([mod_u_sims[m] for m in modalities], axis=0)
+            g_predf = apply_discriminator(
+                d_params, g_inputf, cfg.model, cfg.parity, train=True, rng=r_gd, mp_bwd=True
+            )
         g_lossf = -jnp.mean(g_predf)
         total = mf + emb + reg + fr + t.cl_rate * cl + t.g_rate * g_lossf
         aux = {

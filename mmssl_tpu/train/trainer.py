@@ -80,6 +80,27 @@ class FitResult:
     train_time_s: float = 0.0
 
 
+def _resolve_disc_lowrank(cfg: ExperimentConfig, ds: RecDataset) -> ExperimentConfig:
+    """Resolve ModelConfig.disc_lowrank='auto' to 'on'/'off' for this dataset
+    (the train step reads it as a compile-time constant).
+
+    'auto' resolves to 'off': the factorization is exact but measured
+    net-negative on TPU (see the ModelConfig.disc_lowrank comment /
+    docs/performance.md).  An explicit 'on' is downgraded to 'off' when a
+    user has duplicate train items — the correction subtracts once per ENTRY
+    while the interaction mask is idempotent, so duplicates would break
+    exactness."""
+    import dataclasses as _dc
+
+    mode = cfg.model.disc_lowrank
+    if mode == "auto":
+        mode = "off"
+    elif mode == "on" and cfg.model.name == "mmssl":
+        if not all(len(lst) == len(set(lst)) for lst in ds.train_items.values()):
+            mode = "off"
+    return _dc.replace(cfg, model=_dc.replace(cfg.model, disc_lowrank=mode))
+
+
 class Trainer:
     """One training engine for the whole model zoo.
 
@@ -94,6 +115,7 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh
         self.ds = dataset if dataset is not None else load_dataset(cfg.data)
+        self.cfg = cfg = _resolve_disc_lowrank(cfg, self.ds)
         self.logger = logger or MetricLogger(name=f"{cfg.model.name}-{cfg.data.dataset}")
         self.sampler = NegativeSampler(self.ds, cfg.data.batch_size, seed=cfg.train.seed)
         self.sampler_consts = make_device_sampler_consts(self.ds)

@@ -33,18 +33,11 @@ def main():
     import bench
 
     ds = bench.get_dataset()
-    from mmssl_tpu.config import preset
     from mmssl_tpu.train.trainer import Trainer
     from mmssl_tpu.utils.logging import MetricLogger
     import jax.numpy as jnp
 
-    cfg = preset("baby_scale", "mmssl", **{
-        "data.data_path": os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_data"),
-        "data.batch_size": bench.BATCH,
-        "model.graph_impl": "dense",
-        "model.graph_dtype": "int8",
-        "model.compute_dtype": "bfloat16",
-    })
+    cfg = bench.get_config()  # profile exactly the benchmarked program
     key = jax.random.key(0)
     for i, (m, dim) in enumerate(bench.FEAT_DIMS.items()):
         ds.feats[m] = jax.random.normal(jax.random.fold_in(key, i), (ds.n_items, dim), jnp.float32)

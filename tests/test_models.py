@@ -272,3 +272,63 @@ def test_micro_sparse_dense_agree(setup):
     np.testing.assert_allclose(
         np.asarray(out_s.item_emb), np.asarray(out_d.item_emb), rtol=1e-4, atol=1e-5
     )
+
+
+def test_disc_lowrank_matches_direct(setup):
+    """disc_z1_lowrank == linear(l1, u_sim rows) — values AND gradients.
+
+    The low-rank factorization (ModelConfig.disc_lowrank) is a pure
+    reassociation: in f32 on tiny shapes both the layer-1 affine and the
+    gradients w.r.t. U / I / W1 must agree to fp tolerance."""
+    from mmssl_tpu.models.common import linear
+    from mmssl_tpu.train.steps_mmssl import (
+        disc_z1_lowrank,
+        fake_row_parts,
+        interaction_rows,
+        u_sim,
+    )
+
+    rng = np.random.default_rng(3)
+    B, H, MAXDEG = 6, 7, 4
+    key = jax.random.key(1)
+    u_emb = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    i_emb = jnp.asarray(rng.normal(size=(N_ITEMS, D)).astype(np.float32))
+    l1 = {
+        "w": jnp.asarray(rng.normal(size=(N_ITEMS, H)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(H,)).astype(np.float32)),
+    }
+    # per-row unique train items, one row fully padded (cold user)
+    item_rows = np.full((B, MAXDEG), -1, np.int32)
+    for b in range(B - 1):
+        deg = int(rng.integers(1, MAXDEG + 1))
+        item_rows[b, :deg] = rng.choice(N_ITEMS, size=deg, replace=False)
+    item_rows = jnp.asarray(item_rows)
+    u_ui = interaction_rows(item_rows, N_ITEMS)
+
+    def direct(u_emb, i_emb, w):
+        sim = u_sim(u_emb, i_emb, u_ui)
+        return linear({"w": w, "b": l1["b"]}, sim)
+
+    def lowrank(u_emb, i_emb, w):
+        parts = fake_row_parts(u_emb, i_emb, u_ui, item_rows)
+        return disc_z1_lowrank({"w": w, "b": l1["b"]}, parts)
+
+    zd = direct(u_emb, i_emb, l1["w"])
+    zl = lowrank(u_emb, i_emb, l1["w"])
+    np.testing.assert_allclose(np.asarray(zl), np.asarray(zd), rtol=2e-5, atol=2e-5)
+
+    # sim rows themselves identical (GP interpolates / densify top-k reuse them)
+    parts = fake_row_parts(u_emb, i_emb, u_ui, item_rows)
+    np.testing.assert_allclose(
+        np.asarray(parts.sim), np.asarray(u_sim(u_emb, i_emb, u_ui)), rtol=1e-6, atol=1e-7
+    )
+
+    cot = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    loss_d = lambda *a: jnp.sum(direct(*a) * cot)
+    loss_l = lambda *a: jnp.sum(lowrank(*a) * cot)
+    gd = jax.grad(loss_d, argnums=(0, 1, 2))(u_emb, i_emb, l1["w"])
+    gl = jax.grad(loss_l, argnums=(0, 1, 2))(u_emb, i_emb, l1["w"])
+    for a, b_, name in zip(gd, gl, ("dU", "dI", "dW1")):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=3e-4, atol=3e-5, err_msg=name
+        )

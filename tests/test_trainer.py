@@ -237,3 +237,26 @@ def test_mmssl_remat(tiny_dataset):
         m_a = np.asarray(tr_a.train_batch(idx))
         m_b = np.asarray(tr_b.train_batch(idx))
         np.testing.assert_allclose(m_a, m_b, rtol=2e-4, atol=2e-4)
+
+
+def test_mmssl_disc_lowrank_matches_direct(tiny_dataset):
+    """disc_lowrank='on' (factorized discriminator layer 1 on fake rows,
+    steps_mmssl.disc_z1_lowrank) reproduces the direct path's full training
+    trajectory in f32 — same losses for BOTH optimizers over several steps
+    (the D step exercises the W1-cotangent scatter, the G step the U/I
+    cotangent paths)."""
+    kw = {"train.m_topk_rate": 0.1, "train.steps_per_dispatch": 0}
+    tr_off = _mk_trainer(tiny_dataset, "mmssl", **{**kw, "model.disc_lowrank": "off"})
+    tr_on = _mk_trainer(tiny_dataset, "mmssl", **{**kw, "model.disc_lowrank": "on"})
+    assert tr_on.cfg.model.disc_lowrank == "on"
+    for idx in range(4):
+        m_off = np.asarray(tr_off.train_batch(idx))
+        m_on = np.asarray(tr_on.train_batch(idx))
+        np.testing.assert_allclose(m_on, m_off, rtol=5e-3, atol=1e-4)
+
+
+def test_mmssl_disc_lowrank_auto_resolves_off(tiny_dataset):
+    """'auto' resolves to 'off' (measured net-negative on TPU — see
+    docs/performance.md); the resolved value is a static compile-time flag."""
+    tr = _mk_trainer(tiny_dataset, "mmssl", **{"model.disc_lowrank": "auto"})
+    assert tr.cfg.model.disc_lowrank == "off"
