@@ -48,14 +48,34 @@ def _build_cfg(args) -> ExperimentConfig:
     return preset(args.dataset, args.model, **overrides)
 
 
+def _build_mesh(args):
+    """--mesh '' -> None (single device); 'auto' -> all devices; 'DxM' ->
+    explicit (data, model) split.  --distributed runs multi-host bring-up
+    first so the mesh spans every host's devices."""
+    if getattr(args, "distributed", False):
+        from mmssl_tpu.parallel.multihost import initialize
+
+        initialize()
+    spec = getattr(args, "mesh", "") or ""
+    if not spec:
+        return None
+    from mmssl_tpu.parallel.mesh import make_mesh
+
+    if spec == "auto":
+        return make_mesh()
+    d, _, m = spec.partition("x")
+    return make_mesh(mesh_shape=(int(d), int(m or 1)))
+
+
 def cmd_train(args) -> int:
     from mmssl_tpu.train.trainer import Trainer
     from mmssl_tpu.utils.logging import MetricLogger
 
     cfg = _build_cfg(args)
+    mesh = _build_mesh(args)
     logger = MetricLogger(name=f"{cfg.model.name}-{cfg.data.dataset}", path=args.log_file)
     logger.log(event="config", **{k: v for k, v in flatten(cfg).items()})
-    trainer = Trainer(cfg, logger=logger)
+    trainer = Trainer(cfg, logger=logger, mesh=mesh)
     if args.resume and trainer.ckpt is not None and trainer.ckpt.latest_step() is not None:
         extra = trainer.resume()
         logger.log(event="resumed", **extra)
@@ -77,7 +97,7 @@ def cmd_eval(args) -> int:
     from mmssl_tpu.utils.logging import MetricLogger
 
     cfg = _build_cfg(args)
-    trainer = Trainer(cfg, logger=MetricLogger(quiet=True))
+    trainer = Trainer(cfg, logger=MetricLogger(quiet=True), mesh=_build_mesh(args))
     if args.checkpoint_dir:
         trainer.resume()
     res = trainer.evaluate(args.split)
@@ -151,6 +171,11 @@ def _configure_jax(platform: str) -> None:
     if platform != "default":
         # Must win over the container sitecustomize pinning the TPU plugin.
         jax.config.update("jax_platforms", platform)
+    # Virtual CPU devices for exercising --mesh without TPUs (XLA_FLAGS is
+    # too late when the environment pre-imports jax; the config knob is not).
+    n_cpu = os.environ.get("MMSSL_TPU_CPU_DEVICES", "")
+    if n_cpu and on_cpu:
+        jax.config.update("jax_num_cpu_devices", int(n_cpu))
 
 
 def main(argv=None) -> int:
@@ -167,6 +192,18 @@ def main(argv=None) -> int:
         sp.add_argument("--data-path", required=True)
         sp.add_argument("--checkpoint-dir", default="")
         sp.add_argument("--set", action="append", metavar="KEY=VALUE")
+        sp.add_argument(
+            "--mesh", default="",
+            help="SPMD device mesh: 'auto' (all local devices, square-ish "
+                 "data x model split), 'DxM' (e.g. 4x2), or empty for "
+                 "single-device execution",
+        )
+        sp.add_argument(
+            "--distributed", action="store_true",
+            help="multi-host: jax.distributed.initialize before building the "
+                 "mesh (coordinator from --set-able env MMSSL_TPU_COORDINATOR "
+                 "or the TPU pod runtime); the mesh then spans all hosts",
+        )
 
     sp = sub.add_parser("train", help="train a model")
     common(sp)

@@ -1,0 +1,126 @@
+"""Benchmark: train-step throughput for the whole model zoo.
+
+Runs each baseline model's fused train path at Amazon-Baby scale (the same
+synthetic dataset as bench.py) plus the flagship MMSSL at Tiktok scale
+(tri-modal, 9,319 x 6,710, V/A 128-d + T 768-d — reference README.md:40-47)
+on the real TPU chip.  Prints one JSON line PER model:
+
+  {"model": ..., "metric": "train_examples_per_sec", "value": N, ...}
+
+bench.py stays the driver's single-line flagship benchmark; this script is
+the documentation table generator (docs/performance.md).
+
+Usage: python scripts/bench_zoo.py [model ...]   (default: all)
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+sys.path.insert(0, _ROOT)
+
+import jax.numpy as jnp
+import numpy as np
+
+TIKTOK = {"n_users": 9_319, "n_items": 6_710, "dims": {"image": 128, "audio": 128, "text": 768}}
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def tiktok_dataset():
+    from mmssl_tpu.config import DataConfig
+    from mmssl_tpu.data import load_dataset, write_synthetic_dataset
+
+    root = os.path.join(_ROOT, ".bench_data")
+    marker = os.path.join(root, "tiktok_scale", "train.json")
+    if not os.path.exists(marker):
+        log("bench_zoo: generating Tiktok-scale synthetic dataset (one-time)...")
+        write_synthetic_dataset(
+            root, "tiktok_scale",
+            n_users=TIKTOK["n_users"], n_items=TIKTOK["n_items"], n_clusters=32,
+            interactions_per_user=(3, 10), modality_dims=TIKTOK["dims"], seed=0,
+        )
+    return load_dataset(DataConfig(data_path=root, dataset="tiktok_scale", batch_size=1024))
+
+
+def bench_model(name: str) -> dict:
+    import bench
+    from mmssl_tpu.config import preset
+    from mmssl_tpu.train.trainer import Trainer
+    from mmssl_tpu.utils.logging import MetricLogger
+    import dataclasses
+
+    tri = name == "mmssl_tiktok"
+    model = "mmssl" if tri else name
+    if tri:
+        ds = tiktok_dataset()
+        dims = TIKTOK["dims"]
+        dsname = "tiktok_scale"
+    else:
+        ds = bench.get_dataset()
+        dims = bench.FEAT_DIMS
+        dsname = "baby_scale"
+    cfg = dataclasses.replace(
+        bench.get_config(),
+        model=dataclasses.replace(bench.get_config().model, name=model),
+    )
+    if tri:
+        cfg = preset("tiktok", "mmssl", **{
+            "data.data_path": os.path.join(_ROOT, ".bench_data"),
+            "data.dataset": "tiktok_scale",
+            "data.batch_size": 1024,
+            "model.graph_impl": "dense",
+            "model.graph_dtype": "int8",
+            "model.compute_dtype": "bfloat16",
+            "train.d_moment_dtype": "bfloat16",
+            "train.prng_impl": "rbg",
+        })
+    # Features on device (relay uploads are ~1.2 MB/s; timing is content-free).
+    key = jax.random.key(0)
+    for i, (m, dim) in enumerate(dims.items()):
+        ds.feats[m] = jax.random.normal(jax.random.fold_in(key, i), (ds.n_items, dim), jnp.float32)
+    tr = Trainer(cfg, dataset=ds, logger=MetricLogger(quiet=True))
+    spd = max(cfg.train.steps_per_dispatch, 1)
+    B = cfg.data.batch_size
+
+    t0 = time.time()
+    _ = float(np.asarray(tr.train_chunk(0, spd))[-1, 0])
+    log(f"bench_zoo[{name}]: warmup chunk 1 (incl. compile) {time.time()-t0:.1f}s")
+    t0 = time.time()
+    _ = float(np.asarray(tr.train_chunk(spd, spd))[-1, 0])
+    log(f"bench_zoo[{name}]: warmup chunk 2 {time.time()-t0:.1f}s")
+
+    steps = max(64 // spd, 1) * spd
+    t0 = time.time()
+    for c in range(steps // spd):
+        _ = float(np.asarray(tr.train_chunk((c + 2) * spd, spd))[-1, 0])
+    dt = time.time() - t0
+    ms = dt / steps * 1e3
+    log(f"bench_zoo[{name}]: {steps} steps in {dt:.2f}s -> {ms:.1f} ms/step")
+    return {
+        "model": name, "dataset": dsname, "metric": "train_examples_per_sec",
+        "value": round(steps * B / dt, 1), "unit": "examples/s",
+        "ms_per_step": round(ms, 2),
+    }
+
+
+def main():
+    models = sys.argv[1:] or ["mf", "lightgcn", "ngcf", "lattice", "micro", "mmssl_tiktok"]
+    for name in models:
+        try:
+            print(json.dumps(bench_model(name)), flush=True)
+        except Exception as e:  # keep going; report the failure
+            print(json.dumps({"model": name, "error": repr(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

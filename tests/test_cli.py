@@ -43,3 +43,21 @@ def test_cli_synth_train_eval(tmp_path, capsys):
 def test_cli_bad_set(tmp_path):
     with pytest.raises(SystemExit):
         main(["train", "--dataset", "d", "--data-path", str(tmp_path), "--set", "notakv"])
+
+
+def test_cli_mesh_train(tmp_path, capsys):
+    """--mesh DxM builds a (data, model) mesh and trains SPMD (the test
+    harness provides 8 virtual CPU devices, conftest.py)."""
+    rc = main(["synth", "--out", str(tmp_path), "--name", "m", "--users", "64", "--items", "32"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main([
+        "train", "--dataset", "m", "--model", "mmssl", "--data-path", str(tmp_path),
+        "--epochs", "1", "--mesh", "4x2",
+        "--set", "data.batch_size=16",
+        "--set", "model.embed_size=16",
+        "--set", "eval.ks=(3,5)",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["epochs_run"] == 1
