@@ -94,6 +94,12 @@ class ModelConfig:
     # --layers in their parsers).
     n_item_layers: int = 1
     norm_type: str = "sym"  # MICRO --norm_type {sym, rw, none}
+    # MICRO --sparse (MICRO/codes/utility/parser.py): True = COO modality
+    # item-item graphs via torch_scatter-style laplacians (the reference
+    # default, norm.py:4-41); False = dense laplacians (norm.py:44-53).  On
+    # TPU the dense mode rides the MXU — the COO spmm is a per-entry-latency
+    # scatter (docs/performance.md rule 1) — with identical math.
+    micro_sparse: bool = True
     cf_model: str = "lightgcn"  # CF branch for LATTICE/MICRO {lightgcn,ngcf,mf}
     # NGCF message dropout per layer (reference --mess_dropout).
     mess_dropout: tuple[float, ...] = (0.1, 0.1)

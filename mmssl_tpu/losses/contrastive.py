@@ -33,7 +33,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from mmssl_tpu.models.common import l2_normalize
+from mmssl_tpu.models.common import l2_normalize, matmul
 
 
 def _chunk_bounds(n: int, chunk: int):
@@ -46,16 +46,24 @@ def infonce(
     tau: float,
     eps: float = 1e-8,
     row_chunk: int = 4096,
+    dtype=None,
 ) -> jnp.ndarray:
-    """Mean InfoNCE loss between views z1 (anchor) and z2."""
+    """Mean InfoNCE loss between views z1 (anchor) and z2.
+
+    ``dtype`` (ModelConfig.compute_dtype) runs the two [N, N] similarity
+    GEMMs with low-precision inputs and f32 accumulation; exp/log/sum math
+    stays f32.  For full-catalog calls (MICRO: N = n_items) wrap the call in
+    ``jax.checkpoint`` — the default VJP stores both [N, N] exp matrices
+    (2·N² f32, ~400 MB at Baby scale) while rematerializing costs two cheap
+    [N, d] GEMMs."""
     n = z1.shape[0]
     a = l2_normalize(z1, axis=1)
     b = l2_normalize(z2, axis=1)
     losses = []
     for s, e in _chunk_bounds(n, row_chunk):
         ra = a[s:e]  # [c, d]
-        s11 = jnp.exp((ra @ a.T) / tau)  # [c, N]
-        s12 = jnp.exp((ra @ b.T) / tau)
+        s11 = jnp.exp(matmul(ra, a.T, dtype) / tau)  # [c, N]
+        s12 = jnp.exp(matmul(ra, b.T, dtype) / tau)
         idx = jnp.arange(s, e)
         between_diag = s12[jnp.arange(e - s), idx]
         refl_diag = s11[jnp.arange(e - s), idx]

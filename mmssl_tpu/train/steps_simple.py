@@ -24,6 +24,7 @@ from mmssl_tpu.config import ExperimentConfig
 from mmssl_tpu.losses.bpr import bpr_loss
 from mmssl_tpu.losses.contrastive import infonce
 from mmssl_tpu.models.cf import CFOutput, apply_lightgcn, apply_mf, apply_ngcf
+from mmssl_tpu.models.common import resolve_dtype
 from mmssl_tpu.models.lattice import apply_lattice
 from mmssl_tpu.models.micro import ModalityAdj, apply_micro
 from mmssl_tpu.ops.sparse import SparseGraph
@@ -84,8 +85,16 @@ def simple_train_step_impl(
             new_item_state = out.mod_adjs
             # MICRO/codes/main.py:99-104: InfoNCE(modality_item, fused) per
             # modality over ALL items, weighted by loss_ratio; eps=0 variant.
+            # checkpoint: the default VJP stores both [n_items, n_items] exp
+            # matrices per call (~400 MB f32 each at Baby scale — measured
+            # as the bulk of MICRO's 24 ms step); remat re-runs two thin
+            # GEMMs instead.  dtype: bf16 GEMM inputs under compute_dtype.
+            cdt = resolve_dtype(cfg.model.compute_dtype)
+            nce = jax.checkpoint(
+                lambda x, y: infonce(x, y, t.cl_tau, eps=0.0, dtype=cdt)
+            )
             for m in sorted(consts.feats):
-                cl = cl + infonce(out.mm_item_embeds[m], out.fusion, t.cl_tau, eps=0.0)
+                cl = cl + nce(out.mm_item_embeds[m], out.fusion)
             cl = cl * t.loss_ratio
         elif name == "lightgcn":
             res = apply_lightgcn(params, consts.joint, cfg.model)

@@ -289,7 +289,7 @@ class Trainer:
 
             gdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8}[cfg.model.graph_dtype]
             joint = sparse_to_dense_graph(joint, gdtype)
-        self.sparse_mode = True
+        self.sparse_mode = cfg.model.micro_sparse if name == "micro" else True
         original_adjs: Dict[str, Any] = {}
         item_state: Any = ()
         key = self._split_rng()
@@ -301,14 +301,23 @@ class Trainer:
             from mmssl_tpu.models.micro import _mix_sparse
 
             params = init_micro(key, ds.n_users, ds.n_items, self.feat_dims, cfg.model)
-            original_adjs = build_original_adjs_sparse(self.feats, cfg.model.knn_topk, cfg.model.norm_type)
-            # Initial carried state with the same pytree structure (and
-            # capacity 2*n*k) as every post-rebuild state, so checkpoints
-            # restore into a fresh trainer and jit traces once; numerically
-            # equal to the original graphs (lam*g + (1-lam)*g == g).
-            item_state = {
-                m: _mix_sparse(g, g, cfg.model.lambda_coeff) for m, g in original_adjs.items()
-            }
+            if self.sparse_mode:
+                original_adjs = build_original_adjs_sparse(self.feats, cfg.model.knn_topk, cfg.model.norm_type)
+                # Initial carried state with the same pytree structure (and
+                # capacity 2*n*k) as every post-rebuild state, so checkpoints
+                # restore into a fresh trainer and jit traces once; numerically
+                # equal to the original graphs (lam*g + (1-lam)*g == g).
+                item_state = {
+                    m: _mix_sparse(g, g, cfg.model.lambda_coeff) for m, g in original_adjs.items()
+                }
+            else:
+                # MICRO --sparse 0: dense laplacians; the item-item
+                # propagation rides the MXU instead of per-entry scatters.
+                original_adjs = build_original_adjs_dense(
+                    self.feats, cfg.model.knn_topk, cfg.model.norm_type
+                )
+                lam = cfg.model.lambda_coeff
+                item_state = {m: (1.0 - lam) * g + lam * g for m, g in original_adjs.items()}
         elif name == "lightgcn":
             params = init_lightgcn(key, ds.n_users, ds.n_items, cfg.model)
         elif name == "ngcf":
@@ -367,7 +376,7 @@ class Trainer:
             build = idx == 0 and self.cfg.model.name in ("lattice", "micro")
             self.state, metrics = simple_train_step(
                 self.state, self.consts, users, pos, neg, self.cfg, self.opt,
-                build_item_graph=build, sparse=True,
+                build_item_graph=build, sparse=self.sparse_mode,
             )
         return metrics
 
@@ -397,7 +406,7 @@ class Trainer:
         else:
             self.state, metrics = simple_train_epoch(
                 self.state, self.consts, self.sampler_consts,
-                n_steps, self.ds.n_items, self.cfg, self.opt, sparse=True,
+                n_steps, self.ds.n_items, self.cfg, self.opt, sparse=self.sparse_mode,
             )
         return metrics
 
@@ -425,7 +434,7 @@ class Trainer:
             out = apply_micro(
                 self.state.params, self.consts.joint, self.consts.feats,
                 self.consts.original_adjs, self.state.item_state,
-                cfg.model, cfg.parity, build_item_graph=True, sparse=True, train=False,
+                cfg.model, cfg.parity, build_item_graph=True, sparse=self.sparse_mode, train=False,
             )
             return out.user_emb, out.item_emb
         if name == "lightgcn":

@@ -71,7 +71,13 @@ def bench_model(name: str) -> dict:
         dsname = "baby_scale"
     cfg = dataclasses.replace(
         bench.get_config(),
-        model=dataclasses.replace(bench.get_config().model, name=model),
+        model=dataclasses.replace(
+            bench.get_config().model,
+            name=model,
+            # MICRO fast path: dense laplacian modality graphs (MXU) instead
+            # of the COO scatter default (--sparse 0 branch; identical math).
+            micro_sparse=False,
+        ),
     )
     if tri:
         cfg = preset("tiktok", "mmssl", **{

@@ -260,3 +260,19 @@ def test_mmssl_disc_lowrank_auto_resolves_off(tiny_dataset):
     docs/performance.md); the resolved value is a static compile-time flag."""
     tr = _mk_trainer(tiny_dataset, "mmssl", **{"model.disc_lowrank": "auto"})
     assert tr.cfg.model.disc_lowrank == "off"
+
+
+def test_micro_dense_mode_matches_sparse(tiny_dataset):
+    """model.micro_sparse=False (dense laplacian modality graphs, the
+    reference's --sparse 0 branch) trains to the same losses as the sparse
+    COO default — same math, MXU-friendly layout."""
+    kw = {"train.steps_per_dispatch": 0}
+    tr_s = _mk_trainer(tiny_dataset, "micro", **kw)
+    tr_d = _mk_trainer(tiny_dataset, "micro", **{**kw, "model.micro_sparse": False})
+    for idx in range(3):
+        m_s = np.asarray(tr_s.train_batch(idx))
+        m_d = np.asarray(tr_d.train_batch(idx))
+        np.testing.assert_allclose(m_d, m_s, rtol=2e-3, atol=2e-4)
+    es = tr_s.evaluate("val")["recall"]
+    ed = tr_d.evaluate("val")["recall"]
+    np.testing.assert_allclose(ed, es, rtol=1e-3, atol=2e-3)
