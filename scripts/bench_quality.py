@@ -1,0 +1,102 @@
+"""Quality/convergence check: train the zoo on the clustered Baby-scale
+synthetic dataset (bench.py's) on the real chip and report test metrics.
+
+The reference's published table (BASELINE.md) orders the models
+MMSSL > MICRO/LATTICE > LightGCN > MF on real data; real datasets cannot be
+fetched in this environment (zero egress), so this run checks (a) every
+model's full train->select-on-val->test protocol converges end to end at
+production scale and speed, and (b) the relative ordering of the model
+families reproduces on synthetic data with planted cluster structure.
+
+Prints one JSON line per model:
+  {"model": ..., "recall@20": ..., "ndcg@20": ..., "epochs": ...,
+   "train_time_s": ...}
+
+Usage: python scripts/bench_quality.py [model ...] [--epochs N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+sys.path.insert(0, _ROOT)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run(model: str, epochs: int, ds) -> dict:
+    import dataclasses
+
+    import bench
+    from mmssl_tpu.train.trainer import Trainer
+    from mmssl_tpu.utils.logging import MetricLogger
+
+    base = bench.get_config()
+    cfg = dataclasses.replace(
+        base,
+        model=dataclasses.replace(base.model, name=model, micro_sparse=False),
+        train=dataclasses.replace(base.train, epochs=epochs, eval_every=1,
+                                  early_stopping_patience=7),
+    )
+    tr = Trainer(cfg, dataset=ds, logger=MetricLogger(quiet=True))
+    t0 = time.time()
+    res = tr.fit()
+    dt = time.time() - t0
+    k_idx = 1  # Ks=(10,20,50) -> @20
+    rec = res.test_metrics.get("recall")
+    ndcg = res.test_metrics.get("ndcg")
+    return {
+        "model": model,
+        "recall@20": round(float(rec[k_idx]), 5) if rec is not None else None,
+        "ndcg@20": round(float(ndcg[k_idx]), 5) if ndcg is not None else None,
+        "best_val_recall@20": round(res.best_val_recall, 5),
+        "best_epoch": res.best_epoch,
+        "epochs_run": res.epochs_run,
+        "stopped_early": res.stopped_early,
+        "train_time_s": round(dt, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("models", nargs="*", default=[])
+    ap.add_argument("--epochs", type=int, default=30)
+    args = ap.parse_args()
+    models = args.models or ["mf", "lightgcn", "lattice", "micro", "mmssl"]
+    import bench
+
+    ds = bench.get_dataset()
+    # Clustered synthetic features (seeded): unlike bench.py's pure-noise
+    # on-device features, quality needs the planted modality signal — ship
+    # the real .npy features to the device ONCE (relay uploads ~1.2 MB/s)
+    # and share the device arrays across all models.
+    t0 = time.time()
+    for m in list(ds.feats):
+        ds.feats[m] = jnp.asarray(ds.feats[m])
+    jax.block_until_ready(list(ds.feats.values()))
+    _ = float(ds.feats[m][0, 0])  # force the upload (relay sync by fetching)
+    log(f"bench_quality: feature upload {time.time()-t0:.0f}s")
+    for m in models:
+        try:
+            out = run(m, args.epochs, ds)
+            log(f"bench_quality[{m}]: {out}")
+            print(json.dumps(out), flush=True)
+        except Exception as e:
+            print(json.dumps({"model": m, "error": repr(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
