@@ -190,7 +190,9 @@ class TrainConfig:
     densify_period: int = 1  # parser.py:93 --T
     m_topk_rate: float = 1e-4  # parser.py:98
     # LATTICE/MICRO single-optimizer loop.
-    loss_ratio: float = 1.0  # MICRO --loss_ratio (contrastive weight)
+    # MICRO --loss_ratio (contrastive-task weight applied to the summed
+    # per-modality InfoNCE, MICRO/codes/main.py:103; parser.py:44 default).
+    loss_ratio: float = 0.03
     lr_decay_base: float = 0.96  # 0.96 ** (epoch / 50), main.py:85
     lr_decay_interval: float = 50.0
     early_stopping_patience: int = 7  # parser.py:11
@@ -285,12 +287,25 @@ _PRESETS: dict[str, dict[str, Any]] = {
 }
 
 
+# Per-model defaults where the baseline codebases' parsers diverge from
+# MMSSL's: LATTICE/MICRO train with lr=5e-4 and seed=123
+# (LATTICE/codes/utility/parser.py:22,16; MICRO/codes/utility/parser.py);
+# MMSSL uses lr=5.5e-4, seed=2022 (MMSSL/utility/parser.py:65,51).
+_MODEL_PRESETS: dict[str, dict[str, Any]] = {
+    "lattice": {"train.lr": 5e-4, "train.seed": 123},
+    "micro": {"train.lr": 5e-4, "train.seed": 123},
+}
+
+
 def preset(dataset: str, model: str = "mmssl", **overrides: Any) -> ExperimentConfig:
-    """Build an ExperimentConfig for a named dataset + model."""
+    """Build an ExperimentConfig for a named dataset + model (explicit
+    overrides win over model presets, which win over dataset presets)."""
     cfg = ExperimentConfig()
     cfg = _nested_replace(cfg, {"data.dataset": dataset, "model.name": model})
     if dataset in _PRESETS:
         cfg = _nested_replace(cfg, _PRESETS[dataset])
+    if model in _MODEL_PRESETS:
+        cfg = _nested_replace(cfg, _MODEL_PRESETS[model])
     if overrides:
         cfg = _nested_replace(cfg, overrides)
     return cfg
