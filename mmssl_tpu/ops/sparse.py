@@ -347,6 +347,78 @@ def _scaled_dense_spmm_bwd(res, g):
 _scaled_dense_spmm.defvjp(_scaled_dense_spmm_fwd, _scaled_dense_spmm_bwd)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BipartiteJointGraph:
+    """The joint normalized adjacency ``D^-1 (A + I)`` with
+    ``A = [[0, R], [R^T, 0]]`` (joint_adj / MICRO create_adj_mat) kept in its
+    bipartite blocks instead of materialized (n_u+n_i)^2.
+
+    The dense joint matrix is 73% structural zeros (the two diagonal blocks):
+    at Amazon-Baby scale it reads 702 MB int8 per propagation pass while the
+    content is R twice (2 x 137 MB).  ``spmm`` computes the identical matrix
+    action blockwise —
+
+      u' = (R  x_i + x_u) / (deg_u + 1)
+      i' = (R^T x_u + x_i) / (deg_i + 1)
+
+    — exact because norm_adj's rows are row-constant (value 1/(deg+1) at
+    every entry incl. the self-loop), so the blocks factor into integer
+    interaction counts x an f32 row scale exactly like DenseGraph's int8
+    mode.  R^T is stored explicitly so neither direction pays a transposed
+    HBM read.  2.56x fewer adjacency bytes and no zero-block FLOPs vs the
+    dense joint; same custom-VJP mixed-precision contract
+    (_scaled_dense_spmm).
+    """
+
+    r: jnp.ndarray  # [n_users, n_items] interaction counts (int8/bf16/f32)
+    rt: jnp.ndarray  # [n_items, n_users]
+    inv_deg_u: jnp.ndarray  # f32 [n_users] = 1 / (deg_u + 1)
+    inv_deg_i: jnp.ndarray  # f32 [n_items]
+
+    def tree_flatten(self):
+        return (self.r, self.rt, self.inv_deg_u, self.inv_deg_i), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        n = self.r.shape[0] + self.r.shape[1]
+        return (n, n)
+
+    def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
+        n_u = self.r.shape[0]
+        xu, xi = x[:n_u], x[n_u:]
+        u = _scaled_dense_spmm(self.r, self.inv_deg_u, xi) + self.inv_deg_u[:, None] * xu
+        i = _scaled_dense_spmm(self.rt, self.inv_deg_i, xu) + self.inv_deg_i[:, None] * xi
+        return jnp.concatenate([u, i], axis=0)
+
+
+def joint_bipartite_graph(R: sp.spmatrix, dtype=jnp.int8) -> BipartiteJointGraph:
+    """Build :class:`BipartiteJointGraph` from the user x item interaction
+    matrix (same input as :func:`joint_adj`; entries must be integral —
+    they are binary in the reference data contract)."""
+    R = sp.csr_matrix(R)
+    deg_u = np.asarray(R.sum(1)).ravel().astype(np.float32)
+    deg_i = np.asarray(R.sum(0)).ravel().astype(np.float32)
+    dense = np.asarray(R.todense(), dtype=np.float32)
+    if dtype == jnp.int8:
+        assert np.all(dense == np.round(dense)) and dense.max(initial=0) < 128, (
+            "int8 joint blocks need integral interaction counts < 128"
+        )
+        dense = dense.astype(np.int8)
+    else:
+        dense = dense.astype(dtype)
+    return BipartiteJointGraph(
+        r=jnp.asarray(dense),
+        rt=jnp.asarray(dense.T.copy()),
+        inv_deg_u=jnp.asarray(1.0 / (deg_u + 1.0)),
+        inv_deg_i=jnp.asarray(1.0 / (deg_i + 1.0)),
+    )
+
+
 def dense_from_coo(
     rows: jnp.ndarray,
     cols: jnp.ndarray,

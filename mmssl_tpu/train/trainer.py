@@ -285,10 +285,13 @@ class Trainer:
             _, norm_adj, _ = joint_adj(ds.R, ds.n_users, ds.n_items)
         joint = SparseGraph.from_scipy(norm_adj)
         if cfg.model.graph_impl == "dense":
-            from mmssl_tpu.ops.sparse import sparse_to_dense_graph
+            # Dense mode keeps the joint adjacency in its bipartite blocks:
+            # the materialized (n_u+n_i)^2 matrix is 73% structural zeros
+            # (ops/sparse.BipartiteJointGraph).
+            from mmssl_tpu.ops.sparse import joint_bipartite_graph
 
             gdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8}[cfg.model.graph_dtype]
-            joint = sparse_to_dense_graph(joint, gdtype)
+            joint = joint_bipartite_graph(ds.R, gdtype)
         self.sparse_mode = cfg.model.micro_sparse if name == "micro" else True
         original_adjs: Dict[str, Any] = {}
         item_state: Any = ()

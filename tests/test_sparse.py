@@ -225,3 +225,37 @@ def test_dense_graph_int8_counts_mode():
         np.asarray(gfn8(jnp.asarray(X))), np.asarray(gfn32(jnp.asarray(X))),
         rtol=3e-2, atol=3e-2,
     )
+
+
+def test_bipartite_joint_graph_matches_joint_matrix():
+    """BipartiteJointGraph.spmm == the materialized joint norm_adj @ x
+    (exact blockwise factorization of D^-1 (A+I)), values and gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmssl_tpu.ops.sparse import (
+        BipartiteJointGraph,
+        SparseGraph,
+        joint_adj,
+        joint_bipartite_graph,
+    )
+
+    rng = np.random.default_rng(7)
+    n_u, n_i, d = 23, 17, 5
+    R = sp.csr_matrix((rng.random((n_u, n_i)) < 0.2).astype(np.float32))
+    _, norm_adj, _ = joint_adj(R, n_u, n_i)
+    g_ref = SparseGraph.from_scipy(norm_adj)
+    g_bip = joint_bipartite_graph(R, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(n_u + n_i, d)).astype(np.float32))
+    y_ref = g_ref.spmm(x)
+    y_bip = g_bip.spmm(x)
+    np.testing.assert_allclose(np.asarray(y_bip), np.asarray(y_ref), rtol=1e-5, atol=1e-6)
+    # int8 counts path identical too (binary R)
+    y_i8 = joint_bipartite_graph(R, jnp.int8).spmm(x)
+    np.testing.assert_allclose(np.asarray(y_i8), np.asarray(y_ref), rtol=2e-2, atol=2e-3)
+    # gradient through spmm matches
+    f_ref = lambda x: jnp.sum(g_ref.spmm(x) ** 2)
+    f_bip = lambda x: jnp.sum(g_bip.spmm(x) ** 2)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f_bip)(x)), np.asarray(jax.grad(f_ref)(x)), rtol=1e-4, atol=1e-5
+    )

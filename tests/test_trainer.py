@@ -276,3 +276,20 @@ def test_micro_dense_mode_matches_sparse(tiny_dataset):
     es = tr_s.evaluate("val")["recall"]
     ed = tr_d.evaluate("val")["recall"]
     np.testing.assert_allclose(ed, es, rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("model", ["lightgcn", "ngcf", "lattice", "micro"])
+def test_simple_models_dense_joint(tiny_dataset, model):
+    """graph_impl='dense' routes the CF joint adjacency through
+    BipartiteJointGraph (blockwise D^-1(A+I)); losses match the exact COO
+    path and eval stays finite."""
+    kw = {"train.steps_per_dispatch": 0}
+    tr_coo = _mk_trainer(tiny_dataset, model, **kw)
+    tr_den = _mk_trainer(tiny_dataset, model, **{**kw, "model.graph_impl": "dense",
+                                                 "model.graph_dtype": "float32"})
+    for idx in range(2):
+        m_c = np.asarray(tr_coo.train_batch(idx))
+        m_d = np.asarray(tr_den.train_batch(idx))
+        np.testing.assert_allclose(m_d, m_c, rtol=2e-3, atol=2e-4)
+    res = tr_den.evaluate("val")
+    assert np.isfinite(res["recall"]).all()
