@@ -178,14 +178,14 @@ def test_mmssl_bf16_compute(tiny_dataset):
 
 @pytest.mark.parametrize("model", ["lightgcn", "micro"])
 def test_simple_models_dense_graph_mode(tiny_dataset, model):
-    """graph_impl='dense' converts the joint adjacency to an MXU matmul for
-    the CF branch models too."""
+    """graph_impl='dense' converts the joint adjacency to MXU matmuls for
+    the CF branch models too (blockwise: BipartiteJointGraph)."""
     tr = _mk_trainer(tiny_dataset, model, **{
         "model.graph_impl": "dense", "train.steps_per_dispatch": 0,
     })
-    from mmssl_tpu.ops.sparse import DenseGraph
+    from mmssl_tpu.ops.sparse import BipartiteJointGraph
 
-    assert isinstance(tr.consts.joint, DenseGraph)
+    assert isinstance(tr.consts.joint, BipartiteJointGraph)
     losses = [float(tr.train_batch(idx)[0]) for idx in range(tr.n_batch)]
     assert np.isfinite(losses).all()
     res = tr.evaluate("val")
