@@ -30,26 +30,27 @@ import jax.numpy as jnp
 import numpy as np
 
 TIKTOK = {"n_users": 9_319, "n_items": 6_710, "dims": {"image": 128, "audio": 128, "text": 768}}
+SPORTS = {"n_users": 35_598, "n_items": 18_357, "dims": {"image": 4096, "text": 1024}}
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def tiktok_dataset():
+def synth_dataset(name: str, spec: dict):
     from mmssl_tpu.config import DataConfig
     from mmssl_tpu.data import load_dataset, write_synthetic_dataset
 
     root = os.path.join(_ROOT, ".bench_data")
-    marker = os.path.join(root, "tiktok_scale", "train.json")
+    marker = os.path.join(root, name, "train.json")
     if not os.path.exists(marker):
-        log("bench_zoo: generating Tiktok-scale synthetic dataset (one-time)...")
+        log(f"bench_zoo: generating {name} synthetic dataset (one-time)...")
         write_synthetic_dataset(
-            root, "tiktok_scale",
-            n_users=TIKTOK["n_users"], n_items=TIKTOK["n_items"], n_clusters=32,
-            interactions_per_user=(3, 10), modality_dims=TIKTOK["dims"], seed=0,
+            root, name,
+            n_users=spec["n_users"], n_items=spec["n_items"], n_clusters=32,
+            interactions_per_user=(3, 10), modality_dims=spec["dims"], seed=0,
         )
-    return load_dataset(DataConfig(data_path=root, dataset="tiktok_scale", batch_size=1024))
+    return load_dataset(DataConfig(data_path=root, dataset=name, batch_size=1024))
 
 
 def bench_model(name: str) -> dict:
@@ -60,11 +61,16 @@ def bench_model(name: str) -> dict:
     import dataclasses
 
     tri = name == "mmssl_tiktok"
-    model = "mmssl" if tri else name
+    sports = name == "mmssl_sports"
+    model = "mmssl" if (tri or sports) else name
     if tri:
-        ds = tiktok_dataset()
+        ds = synth_dataset("tiktok_scale", TIKTOK)
         dims = TIKTOK["dims"]
         dsname = "tiktok_scale"
+    elif sports:
+        ds = synth_dataset("sports_scale", SPORTS)
+        dims = SPORTS["dims"]
+        dsname = "sports_scale"
     else:
         ds = bench.get_dataset()
         dims = bench.FEAT_DIMS
@@ -79,10 +85,10 @@ def bench_model(name: str) -> dict:
             micro_sparse=False,
         ),
     )
-    if tri:
-        cfg = preset("tiktok", "mmssl", **{
+    if tri or sports:
+        cfg = preset("tiktok" if tri else "sports", "mmssl", **{
             "data.data_path": os.path.join(_ROOT, ".bench_data"),
-            "data.dataset": "tiktok_scale",
+            "data.dataset": dsname,
             "data.batch_size": 1024,
             "model.graph_impl": "dense",
             "model.graph_dtype": "int8",
