@@ -293,3 +293,28 @@ def test_simple_models_dense_joint(tiny_dataset, model):
         np.testing.assert_allclose(m_d, m_c, rtol=2e-3, atol=2e-4)
     res = tr_den.evaluate("val")
     assert np.isfinite(res["recall"]).all()
+
+
+def test_mmssl_production_fast_path_stack(tiny_dataset):
+    """The full production fast-path configuration benched by bench.py —
+    dense int8 graphs + bf16 compute + bf16 D moments + rbg PRNG + fused
+    dispatch — trains sanely: loss decreases epoch-over-epoch and eval is
+    finite.  Guards the benchmark configuration against quality regressions
+    that per-flag tests might miss in combination."""
+    tr = _mk_trainer(tiny_dataset, "mmssl", **{
+        "model.graph_impl": "dense",
+        "model.graph_dtype": "int8",
+        "model.compute_dtype": "bfloat16",
+        "train.d_moment_dtype": "bfloat16",
+        "train.prng_impl": "rbg",
+        "train.m_topk_rate": 0.1,
+    })
+    spd = 4
+    m1 = np.asarray(tr.train_chunk(0, spd))
+    m2 = np.asarray(tr.train_chunk(spd, spd))
+    m3 = np.asarray(tr.train_chunk(2 * spd, spd))
+    assert np.isfinite(m1).all() and np.isfinite(m3).all()
+    # mf_loss (BPR) mean should drop from the first chunk to the third
+    assert m3[:, 2].mean() < m1[:, 2].mean()
+    res = tr.evaluate("val")
+    assert np.isfinite(res["recall"]).all()
