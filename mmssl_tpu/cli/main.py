@@ -117,7 +117,7 @@ def cmd_recommend(args) -> int:
     trainer = Trainer(cfg, logger=MetricLogger(quiet=True))
     if args.checkpoint_dir:
         trainer.resume()
-    engine = RecommendEngine.from_trainer(trainer)
+    engine = RecommendEngine.from_trainer(trainer, topk_impl=getattr(args, "topk_impl", "exact"))
     if args.export:
         paths = engine.export_embeddings(args.export)
         print(json.dumps({"exported": paths}))
@@ -226,6 +226,9 @@ def main(argv=None) -> int:
     sp.add_argument("--out", default="", help="write JSONL here instead of stdout")
     sp.add_argument("--export", default="",
                     help="export user/item embedding tables (.npy + manifest) to this dir and exit")
+    sp.add_argument("--topk-impl", default="exact", choices=["exact", "approx"],
+                    help="retrieval kernel: exact lax.top_k (reference protocol) or "
+                         "TPU-native lax.approx_max_k (recall_target 0.95)")
     sp.set_defaults(fn=cmd_recommend)
 
     sp = sub.add_parser("synth", help="generate a synthetic dataset")

@@ -33,21 +33,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("k", "exclude_train"))
+@partial(jax.jit, static_argnames=("k", "exclude_train", "impl"))
 def _topk_batch(
     u_rows: jnp.ndarray,  # [B, d] user embeddings for the request batch
     i_emb: jnp.ndarray,  # [n_items, d]
     train_rows: jnp.ndarray,  # int32 [B, max_deg], -1 pad (ignored if not exclude_train)
     k: int,
     exclude_train: bool,
+    impl: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full-catalog scores -> (top-k scores, top-k item ids)."""
+    """Full-catalog scores -> (top-k scores, top-k item ids).
+
+    ``impl='approx'`` uses the TPU-native ``jax.lax.approx_max_k``
+    (recall_target 0.95) — the production ANN-style path for large catalogs
+    where an exact sort dominates retrieval latency.  'exact' matches the
+    reference ranking protocol bit-for-bit."""
     n_items = i_emb.shape[0]
     scores = u_rows @ i_emb.T  # [B, n_items]
     if exclude_train:
         rows = jnp.where(train_rows < 0, n_items, train_rows)
         bix = jnp.arange(scores.shape[0], dtype=jnp.int32)[:, None]
         scores = scores.at[bix, rows].set(-jnp.inf, mode="drop")
+    if impl == "approx":
+        return jax.lax.approx_max_k(scores, k, recall_target=0.95)
     top_scores, top_ids = jax.lax.top_k(scores, k)
     return top_scores, top_ids
 
@@ -77,7 +85,9 @@ class RecommendEngine:
         train_pad: Optional[np.ndarray] = None,  # int32 [n_users, max_deg], -1 pad
         batch_size: int = 1024,
         mesh=None,
+        topk_impl: str = "exact",  # exact | approx (lax.approx_max_k, single-device path)
     ):
+        self.topk_impl = topk_impl
         self.user_emb = jnp.asarray(user_emb)
         self.item_emb = jnp.asarray(item_emb)
         self.n_users, self.d = self.user_emb.shape
@@ -98,13 +108,13 @@ class RecommendEngine:
                 self._sharded_k: Dict[int, object] = {}
 
     @classmethod
-    def from_trainer(cls, trainer, batch_size: int = 1024) -> "RecommendEngine":
+    def from_trainer(cls, trainer, batch_size: int = 1024, **kw) -> "RecommendEngine":
         """Materialize eval-mode embeddings from a Trainer (fresh, fitted, or
         checkpoint-restored) and wrap them for retrieval."""
         u_emb, i_emb = trainer.eval_embeddings()
         train_pad, _ = trainer.ds.padded_split("train")
         return cls(
-            u_emb, i_emb, train_pad=train_pad, batch_size=batch_size, mesh=trainer.mesh
+            u_emb, i_emb, train_pad=train_pad, batch_size=batch_size, mesh=trainer.mesh, **kw
         )
 
     # ------------------------------------------------------------------
@@ -148,7 +158,8 @@ class RecommendEngine:
                 scores, ids = scores[:, :k], ids[:, :k]
             else:
                 scores, ids = _topk_batch(
-                    self.user_emb[bj], self.item_emb, self.train_pad[bj], k, exclude_train
+                    self.user_emb[bj], self.item_emb, self.train_pad[bj],
+                    k=k, exclude_train=exclude_train, impl=self.topk_impl,
                 )
             out_ids[start : start + n] = np.asarray(ids)[:n]
             out_scores[start : start + n] = np.asarray(scores)[:n]

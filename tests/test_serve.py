@@ -139,3 +139,26 @@ def test_cli_recommend(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "user_emb" in out["exported"]
+
+
+def test_recommend_approx_topk(tables):
+    """topk_impl='approx' (lax.approx_max_k) returns valid ids with high
+    overlap vs the exact ranking (recall_target 0.95)."""
+    u_emb, i_emb, train_pad = tables
+    exact = RecommendEngine(u_emb, i_emb, train_pad=train_pad, batch_size=16)
+    approx = RecommendEngine(u_emb, i_emb, train_pad=train_pad, batch_size=16,
+                             topk_impl="approx")
+    users = list(range(12))
+    ids_e, _ = exact.recommend(users, k=10)
+    ids_a, sc_a = approx.recommend(users, k=10)
+    assert ids_a.shape == (12, 10) and np.isfinite(sc_a).all()
+    assert ((ids_a >= 0) & (ids_a < i_emb.shape[0])).all()
+    # average overlap with the exact top-10 should be high
+    overlap = np.mean([
+        len(set(ids_a[i]) & set(ids_e[i])) / 10.0 for i in range(len(users))
+    ])
+    assert overlap >= 0.8, overlap
+    # train-item exclusion still holds
+    for i, u in enumerate(users):
+        tr_items = set(int(x) for x in train_pad[u] if x >= 0)
+        assert not (set(int(x) for x in ids_a[i]) & tr_items)
