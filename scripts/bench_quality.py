@@ -37,14 +37,24 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def run(model: str, epochs: int, ds) -> dict:
+def run(model: str, epochs: int, ds, scale: str = "baby_scale") -> dict:
     import dataclasses
 
     import bench
+    from mmssl_tpu.config import preset
     from mmssl_tpu.train.trainer import Trainer
     from mmssl_tpu.utils.logging import MetricLogger
 
     base = bench.get_config()
+    if scale != "baby_scale":
+        base = preset("tiktok" if scale == "tiktok_scale" else "sports", "mmssl", **{
+            "data.data_path": os.path.join(_ROOT, ".bench_data"),
+            "data.dataset": scale,
+            "data.batch_size": 1024,
+            "model.graph_impl": "dense", "model.graph_dtype": "int8",
+            "model.compute_dtype": "bfloat16", "train.d_moment_dtype": "bfloat16",
+            "train.prng_impl": "rbg",
+        })
     cfg = dataclasses.replace(
         base,
         model=dataclasses.replace(base.model, name=model, micro_sparse=False),
@@ -74,11 +84,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("models", nargs="*", default=[])
     ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--scale", default="baby_scale",
+                    choices=["baby_scale", "tiktok_scale", "sports_scale"])
     args = ap.parse_args()
     models = args.models or ["mf", "lightgcn", "lattice", "micro", "mmssl"]
     import bench
 
-    ds = bench.get_dataset()
+    if args.scale == "baby_scale":
+        ds = bench.get_dataset()
+    else:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import bench_zoo
+
+        ds = bench_zoo.synth_dataset(
+            args.scale,
+            bench_zoo.TIKTOK if args.scale == "tiktok_scale" else bench_zoo.SPORTS,
+        )
     # Clustered synthetic features (seeded): unlike bench.py's pure-noise
     # on-device features, quality needs the planted modality signal — ship
     # the real .npy features to the device ONCE (relay uploads ~1.2 MB/s)
@@ -91,7 +112,7 @@ def main():
     log(f"bench_quality: feature upload {time.time()-t0:.0f}s")
     for m in models:
         try:
-            out = run(m, args.epochs, ds)
+            out = run(m, args.epochs, ds, args.scale)
             log(f"bench_quality[{m}]: {out}")
             print(json.dumps(out), flush=True)
         except Exception as e:
