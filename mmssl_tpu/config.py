@@ -154,6 +154,14 @@ class ModelConfig:
     # (requires no duplicate per-user train items — the correction subtracts
     # once per entry while the interaction mask is idempotent).
     disc_lowrank: str = "auto"  # auto (= off) | on | off
+    # Activation storage dtype INSIDE the WGAN-GP tower (models/mmssl.
+    # discriminator_tower act_dtype).  Cotangent dtypes follow primal dtypes
+    # under autodiff, so "bfloat16" makes the GP tower's backward and
+    # second-order dots run bf16 x bf16 — the mixed-precision lever that is
+    # legal on a twice-differentiated path (custom-VJP cotangent casts are
+    # not).  "float32" is the parity default; the first-order towers always
+    # keep f32 activations (bf16 there measured slower — fusion breakage).
+    gp_act_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -443,15 +443,22 @@ def apply_discriminator(
     rng: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
     mp_bwd: bool = False,
+    act_dtype=None,
 ) -> jnp.ndarray:
     """Returns [B] scores in [0, 100] (quirk Q8: 100 * sigmoid).
 
     ``mp_bwd``: round backward cotangents of the Linear layers to the compute
     dtype (see models/common.matmul) — only legal on strictly first-order
-    paths; the WGAN-GP tower (grad-of-grad) must leave it False."""
+    paths; the WGAN-GP tower (grad-of-grad) must leave it False.
+
+    ``act_dtype``: storage dtype for the tower activations between blocks.
+    Cotangent dtypes follow primal dtypes under autodiff, so a bf16
+    ``act_dtype`` makes ALL backward (and second-order) dots of the tower run
+    bf16 x bf16 without custom VJPs — the mixed-precision lever that IS legal
+    on the twice-differentiated GP tower."""
     dt = resolve_dtype(cfg.compute_dtype)
     z1 = linear(params["l1"], x, dt, mp_bwd)
-    return discriminator_tower(params, z1, cfg, parity, train, rng, axis_name, mp_bwd)
+    return discriminator_tower(params, z1, cfg, parity, train, rng, axis_name, mp_bwd, act_dtype)
 
 
 def discriminator_tower(
@@ -463,6 +470,7 @@ def discriminator_tower(
     rng: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
     mp_bwd: bool = False,
+    act_dtype=None,
 ) -> jnp.ndarray:
     """The discriminator from the first LeakyReLU on — split out so the
     first-layer affine can be produced either directly (x @ W1 + b) or via
@@ -472,16 +480,19 @@ def discriminator_tower(
     r1 = r2 = None
     if rng is not None:
         r1, r2 = jax.random.split(rng)
+    cast = (lambda h: h.astype(act_dtype)) if act_dtype is not None else (lambda h: h)
 
     # NOTE: storing the tower activations at bf16 between BN/dropout was
-    # tried and measured SLOWER (14.0 vs 13.5 ms/step at Baby scale): the
-    # inserted casts break XLA's GEMM+BN-stat fusions and the extra
-    # materializations cost more than the halved elementwise bytes.
-    h = leaky_relu(z1, slope)
-    h = batchnorm(params["bn1"], h, axis_name=axis_name)
+    # tried and measured SLOWER on the FIRST-ORDER towers (14.0 vs 13.5
+    # ms/step at Baby scale): the inserted casts break XLA's GEMM+BN-stat
+    # fusions and the extra materializations cost more than the halved
+    # elementwise bytes.  act_dtype therefore defaults to None; the GP tower
+    # opts in (see apply_discriminator docstring).
+    h = cast(leaky_relu(z1, slope))
+    h = cast(batchnorm(params["bn1"], h, axis_name=axis_name))
     h = dropout(r1, h, cfg.g_drop1, train)
-    h = leaky_relu(linear(params["l2"], h, dt, mp_bwd), slope)
-    h = batchnorm(params["bn2"], h, axis_name=axis_name)
+    h = cast(leaky_relu(linear(params["l2"], h, dt, mp_bwd), slope))
+    h = cast(batchnorm(params["bn2"], h, axis_name=axis_name))
     h = dropout(r2, h, cfg.g_drop2, train)
     out = 100.0 * jax.nn.sigmoid(linear(params["l3"], h, dt, mp_bwd))
     return out[:, 0]

@@ -240,7 +240,10 @@ def gradient_penalty(
 
     def d_sum(x):
         return jnp.sum(
-            apply_discriminator(d_params, x, cfg.model, cfg.parity, train=True, rng=r_drop)
+            apply_discriminator(
+                d_params, x, cfg.model, cfg.parity, train=True, rng=r_drop,
+                act_dtype=resolve_dtype(cfg.model.gp_act_dtype),
+            )
         )
 
     grads = jax.grad(d_sum)(interp)  # [MB, n_items], at interp's dtype
