@@ -107,11 +107,17 @@ def apply_lattice(
             original = original + weight[i] * original_adjs[m]
         learned = compute_normalized_laplacian(learned)
         item_adj = (1.0 - cfg.lambda_coeff) * learned + cfg.lambda_coeff * original
+        # STORE the carried graph at the compute dtype: a per-read operand
+        # cast halves nothing (XLA still streams the f32 array); halving the
+        # HBM bytes of the hot n_items^2 propagation requires bf16 storage
+        # (400 MB -> 200 MB per step at Baby scale incl. VJP reads).  Mixing
+        # math stays f32.
+        if dt is not None:
+            item_adj = item_adj.astype(dt)
     else:
         item_adj = jax.lax.stop_gradient(item_adj_state)
 
-    # The n_items^2 dense propagation is LATTICE's hot op — bf16 inputs halve
-    # the item_adj HBM read (200 MB at Baby scale, 1.3 GB at Sports).
+    # The n_items^2 dense propagation is LATTICE's hot op.
     h = params["item_emb"]
     for _ in range(cfg.n_item_layers):
         h = matmul(item_adj, h, dt)

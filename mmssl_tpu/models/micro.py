@@ -135,7 +135,10 @@ def apply_micro(
                 new = get_dense_laplacian(
                     build_knn_neighbourhood(sim, cfg.knn_topk), cfg.norm_type
                 )
-                mod_adjs[m] = (1.0 - cfg.lambda_coeff) * new + cfg.lambda_coeff * original_adjs[m]
+                mixed = (1.0 - cfg.lambda_coeff) * new + cfg.lambda_coeff * original_adjs[m].astype(jnp.float32)
+                # Stored at the compute dtype: halves the dense modality
+                # propagation's HBM bytes (see models/lattice).
+                mod_adjs[m] = mixed if dt is None else mixed.astype(dt)
     else:
         mod_adjs = {m: jax.lax.stop_gradient(mod_adj_state[m]) for m in modalities}
 

@@ -293,13 +293,16 @@ class Trainer:
             gdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8}[cfg.model.graph_dtype]
             joint = joint_bipartite_graph(ds.R, gdtype)
         self.sparse_mode = cfg.model.micro_sparse if name == "micro" else True
+        cdt = resolve_dtype(cfg.model.compute_dtype)
         original_adjs: Dict[str, Any] = {}
         item_state: Any = ()
         key = self._split_rng()
         if name == "lattice":
             params = init_lattice(key, ds.n_users, ds.n_items, self.feat_dims, cfg.model)
             original_adjs = build_original_adjs(self.feats, cfg.model.knn_topk)
-            item_state = jnp.zeros((ds.n_items, ds.n_items), jnp.float32)
+            # Carried graph stored at the compute dtype (models/lattice:
+            # halves the hot n_items^2 propagation's HBM bytes under bf16).
+            item_state = jnp.zeros((ds.n_items, ds.n_items), cdt or jnp.float32)
         elif name == "micro":
             from mmssl_tpu.models.micro import _mix_sparse
 
@@ -320,7 +323,12 @@ class Trainer:
                     self.feats, cfg.model.knn_topk, cfg.model.norm_type
                 )
                 lam = cfg.model.lambda_coeff
-                item_state = {m: (1.0 - lam) * g + lam * g for m, g in original_adjs.items()}
+                # Same storage dtype as every post-rebuild state (models/
+                # micro casts the rebuilt mix to the compute dtype).
+                item_state = {
+                    m: ((1.0 - lam) * g + lam * g).astype(cdt or jnp.float32)
+                    for m, g in original_adjs.items()
+                }
         elif name == "lightgcn":
             params = init_lightgcn(key, ds.n_users, ds.n_items, cfg.model)
         elif name == "ngcf":
