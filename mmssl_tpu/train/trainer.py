@@ -498,6 +498,12 @@ class Trainer:
                     metric_rows.append(m)
                     float(m[-1, 0])  # sync: bound the dispatch queue
                     idx += spd
+                # NOTE: fusing the epoch TAIL as a second scan program was
+                # tried and measured a large regression on the relay-attached
+                # chip (3.1 -> 19-23 s/epoch even with a warm compile cache):
+                # alternating between two large scan executables every epoch
+                # thrashes the relay's executable loading (~20 s/epoch).  The
+                # per-batch tail keeps one big executable resident.
             # Tail (and the spd == 0 path): per-batch dispatches.
             while idx < self.n_batch:
                 metric_rows.append(self.train_batch(idx)[None])
