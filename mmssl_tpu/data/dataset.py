@@ -140,6 +140,16 @@ def load_dataset(cfg: DataConfig) -> RecDataset:
         feats[modality] = np.load(fpath).astype(np.float32)
     if cfg.n_items_from_feats and feats:
         n_items = next(iter(feats.values())).shape[0]
+    # Reconcile feature rows with n_items: real datasets match exactly (the
+    # val/test item-max raises n_items to the feat count, Q7), but malformed
+    # data would crash the reference deep inside a matmul — slice extra rows
+    # / zero-pad missing ones instead.
+    for modality, f in feats.items():
+        if f.shape[0] > n_items:
+            feats[modality] = f[:n_items]
+        elif f.shape[0] < n_items:
+            pad = np.zeros((n_items - f.shape[0], f.shape[1]), dtype=np.float32)
+            feats[modality] = np.concatenate([f, pad], axis=0)
 
     rows, cols = [], []
     for uid, items in train_items.items():

@@ -49,7 +49,12 @@ class NegativeSampler:
     def sample(self, rng: Optional[np.random.Generator] = None) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         rng = rng or self.rng
         B = self.batch_size
-        if B <= self.n_users:
+        # Reference rule (load_data.py:154-157): without replacement iff
+        # B <= n_users — but it samples from exist_users (train uids only),
+        # so with uid gaps and exist < B <= n_users the reference CRASHES in
+        # rd.sample.  Gate on the actual population instead; this diverges
+        # only where the reference cannot run.
+        if B <= len(self.exist_users):
             users = rng.choice(self.exist_users, size=B, replace=False)
         else:
             users = rng.choice(self.exist_users, size=B, replace=True)

@@ -423,7 +423,11 @@ def apply_mmssl(
 # ---------------------------------------------------------------------------
 
 def init_discriminator(key: jax.Array, n_items: int, cfg: ModelConfig) -> dict:
-    h1, h2 = n_items // 4, n_items // 8
+    # Clamp the hidden widths to >=1: the reference's integer division
+    # (Models.py:226-228) yields zero-width layers for catalogs under 8
+    # items, which torch silently accepts and we would crash on (degenerate
+    # either way; identical for any realistic catalog).
+    h1, h2 = max(n_items // 4, 1), max(n_items // 8, 1)
     k1, k2, k3 = jax.random.split(key, 3)
     return {
         "l1": {"w": kaiming_normal(k1, (n_items, h1)), "b": jnp.zeros((h1,))},

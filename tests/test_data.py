@@ -56,3 +56,50 @@ def test_sampler_with_replacement(tiny_dataset):
     sampler = NegativeSampler(tiny_dataset, batch_size=128, seed=3)
     users, pos, neg = sampler.sample()
     assert len(users) == 128
+
+
+def test_degenerate_datasets(tmp_path):
+    """Loader + trainer survive malformed/degenerate data the reference would
+    meet in the wild: users only in val/test, uid gaps, an empty val split,
+    and a user with zero train items."""
+    import json
+
+    import numpy as np
+
+    from mmssl_tpu.config import preset
+    from mmssl_tpu.data import load_dataset
+    from mmssl_tpu.train.trainer import Trainer
+    from mmssl_tpu.utils.logging import MetricLogger
+
+    d = tmp_path / "weird"
+    d.mkdir()
+    # train: uid gap (no user 1); user 4 appears only in test
+    (d / "train.json").write_text(json.dumps({"0": [0, 1], "2": [2], "3": [0, 3]}))
+    (d / "val.json").write_text(json.dumps({}))  # empty split
+    (d / "test.json").write_text(json.dumps({"0": [4], "4": [2]}))
+    n_items = 6
+    np.save(d / "image_feat.npy", np.random.default_rng(0).normal(size=(n_items, 8)).astype(np.float32))
+    np.save(d / "text_feat.npy", np.random.default_rng(1).normal(size=(n_items, 4)).astype(np.float32))
+
+    cfg = preset("weird", "mmssl", **{
+        "data.data_path": str(tmp_path),
+        "data.batch_size": 4,
+        "model.embed_size": 8,
+        "eval.ks": (2, 3),
+        "train.steps_per_dispatch": 0,
+    })
+    ds = load_dataset(cfg.data)
+    # Reference semantics (load_data.py:29-55): n_users counts TRAIN uids
+    # only (max id + 1); a test-only uid beyond that is out of range (the
+    # reference would crash indexing R) and users_of_split drops it.
+    assert ds.n_users == 4
+    # MMSSL counting: n_items = max interacted id + 1 (feats are sliced;
+    # only the MICRO/LATTICE variant takes n_items from text_feat.shape[0]).
+    assert ds.n_items == 5
+    assert ds.n_val == 0
+    assert list(ds.users_of_split("test")) == [0]  # uid 4 dropped
+    tr = Trainer(cfg, dataset=ds, logger=MetricLogger(quiet=True))
+    m = np.asarray(tr.train_batch(0))
+    assert np.isfinite(m).all()
+    res = tr.evaluate("test")
+    assert np.isfinite(res["recall"]).all()
