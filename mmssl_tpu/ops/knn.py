@@ -38,9 +38,10 @@ def build_sim(context: jnp.ndarray) -> jnp.ndarray:
 
 def build_knn_neighbourhood(adj: jnp.ndarray, topk: int) -> jnp.ndarray:
     """Keep top-k entries per row, zero elsewhere
-    (LATTICE/codes/Models.py:13-16)."""
+    (LATTICE/codes/Models.py:13-16).  topk is clamped to the catalog size
+    (torch.topk would raise just like lax.top_k; k >= n keeps every entry)."""
     n = adj.shape[-1]
-    knn_val, knn_ind = jax.lax.top_k(adj, topk)
+    knn_val, knn_ind = jax.lax.top_k(adj, min(topk, n))
     out = jnp.zeros_like(adj)
     rows = jnp.arange(adj.shape[0])[:, None]
     return out.at[rows, knn_ind].set(knn_val)
@@ -79,6 +80,7 @@ def build_knn_sparse_graph(
     Degrees are weighted sums over the *kept* entries (scatter_add semantics).
     """
     n = sim.shape[0]
+    topk = min(topk, n)  # k >= n keeps every entry (see build_knn_neighbourhood)
     knn_val, knn_ind = jax.lax.top_k(sim, topk)  # [n, k]
     rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32), topk)
     cols = knn_ind.reshape(-1).astype(jnp.int32)

@@ -61,3 +61,22 @@ def test_sparse_matches_dense(norm_type):
     np.testing.assert_allclose(
         np.asarray(sparse.spmm(X)), np.asarray(dense @ X), rtol=1e-4, atol=1e-5
     )
+
+
+def test_knn_topk_clamped_to_catalog():
+    """topk > n_items keeps every entry instead of raising (tiny catalogs;
+    torch.topk would raise identically in the reference)."""
+    import jax.numpy as jnp
+
+    from mmssl_tpu.ops.knn import (
+        build_knn_neighbourhood,
+        build_knn_sparse_graph,
+        build_sim,
+    )
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(5, 4)).astype(np.float32))
+    sim = build_sim(x)
+    dense = build_knn_neighbourhood(sim, 10)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(sim), rtol=1e-6)
+    g = build_knn_sparse_graph(sim, 10, "sym")
+    assert g.rows.shape[0] == 5 * 5  # n * clamped_k entries
