@@ -46,8 +46,10 @@ def _eval_user_batch(
     full_auc: bool,
 ) -> Dict[str, jnp.ndarray]:
     B = users.shape[0]
-    k_max = max(ks)
     n_items = i_emb.shape[0]
+    # K > catalog: rank every item (the reference's heapq.nlargest returns
+    # min(K, n_items) entries and the metrics operate on that shorter list).
+    k_max = min(max(ks), n_items)
     scores = u_emb[users] @ i_emb.T  # [B, n_items]
     u_train = train_pad[users]  # [B, max_train]
     # jnp normalizes negative array indices (-1 -> n_items-1) BEFORE OOB

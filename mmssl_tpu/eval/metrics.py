@@ -108,6 +108,9 @@ def batch_metrics_from_topk(
 
     recalls, precisions, ndcgs, hits = [], [], [], []
     for k in ks:
+        # K beyond the ranked list: the reference's list is min(K, n_items)
+        # long, so r[:k] (and precision's divisor, via np.mean) clamp to it.
+        k = min(k, k_max)
         rk = r[:, :k]
         hits_k = jnp.sum(rk, axis=1)
         recalls.append(jnp.where(n_pos > 0, hits_k / jnp.maximum(n_pos, 1), 0.0))

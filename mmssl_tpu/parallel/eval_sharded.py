@@ -54,7 +54,9 @@ def make_sharded_topk(mesh: Mesh, k_max: int):
         ids = ids + offset  # globalize
         all_vals = jax.lax.all_gather(vals, MODEL_AXIS, axis=1, tiled=True)  # [B, P*k]
         all_ids = jax.lax.all_gather(ids, MODEL_AXIS, axis=1, tiled=True)
-        m_vals, m_pos = jax.lax.top_k(all_vals, k_max)
+        # k_max may exceed the gathered candidate count when K > n_items
+        # (every item is then a candidate; matches the single-device clamp).
+        m_vals, m_pos = jax.lax.top_k(all_vals, min(k_max, all_vals.shape[1]))
         m_ids = jnp.take_along_axis(all_ids, m_pos, axis=1)
         return m_vals, m_ids
 

@@ -58,7 +58,7 @@ def test_sampler_with_replacement(tiny_dataset):
     assert len(users) == 128
 
 
-def test_degenerate_datasets(tmp_path):
+def test_degenerate_datasets(tmp_path):  # mmssl variant; zoo variant below
     """Loader + trainer survive malformed/degenerate data the reference would
     meet in the wild: users only in val/test, uid gaps, an empty val split,
     and a user with zero train items."""
@@ -103,3 +103,48 @@ def test_degenerate_datasets(tmp_path):
     assert np.isfinite(m).all()
     res = tr.evaluate("test")
     assert np.isfinite(res["recall"]).all()
+
+
+def test_degenerate_datasets_all_models(tmp_path):
+    """Every zoo model trains + evaluates on the degenerate dataset, with a
+    K beyond the catalog (the reference's heapq returns min(K, n_items)
+    entries; the device evaluator clamps identically)."""
+    import json
+
+    import numpy as np
+
+    from mmssl_tpu.config import preset
+    from mmssl_tpu.data import load_dataset
+    from mmssl_tpu.train.trainer import Trainer
+    from mmssl_tpu.utils.logging import MetricLogger
+
+    d = tmp_path / "weird2"
+    d.mkdir()
+    (d / "train.json").write_text(json.dumps({"0": [0, 1], "2": [2], "3": [0, 3]}))
+    (d / "val.json").write_text(json.dumps({}))
+    (d / "test.json").write_text(json.dumps({"0": [4], "4": [2]}))
+    # Non-negative features, as real extractors produce: LATTICE/MICRO's
+    # sym laplacian takes rowsum^-1/2 of the kNN similarity graph, and a
+    # NEGATIVE row-sum (possible with signed random features) is NaN in the
+    # reference's own math (LATTICE/codes/Models.py:17-23) — faithful, not a
+    # bug to fix.
+    np.save(d / "image_feat.npy", np.abs(np.random.default_rng(0).normal(size=(6, 8))).astype(np.float32))
+    np.save(d / "text_feat.npy", np.abs(np.random.default_rng(1).normal(size=(6, 4))).astype(np.float32))
+
+    for model in ("mf", "lightgcn", "ngcf", "lattice", "micro", "mmssl"):
+        cfg = preset("weird2", model, **{
+            "data.data_path": str(tmp_path),
+            "data.batch_size": 4,
+            "model.embed_size": 8,
+            "eval.ks": (2, 50),  # 50 > n_items = 5
+            "train.steps_per_dispatch": 0,
+        })
+        ds = load_dataset(cfg.data)
+        tr = Trainer(cfg, dataset=ds, logger=MetricLogger(quiet=True))
+        m = np.asarray(tr.train_batch(0))
+        assert np.isfinite(m).all(), model
+        res = tr.evaluate("test")
+        assert np.isfinite(res["recall"]).all(), model
+        # recall@50 over a 5-item catalog ranks everything except the train
+        # items; the only test user (0) has item 4 ranked somewhere -> hit.
+        assert res["recall"][1] == 1.0, (model, res["recall"])
