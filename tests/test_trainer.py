@@ -318,3 +318,21 @@ def test_mmssl_production_fast_path_stack(tiny_dataset):
     assert m3[:, 2].mean() < m1[:, 2].mean()
     res = tr.evaluate("val")
     assert np.isfinite(res["recall"]).all()
+
+
+def test_mmssl_single_modality(tiny_dataset):
+    """The N-modality generalization holds at N=1 (the reference hardcodes
+    image+text; our zoo accepts any data.modalities tuple)."""
+    import dataclasses
+
+    cfg = preset("tiny", "mmssl", **{
+        "data.batch_size": 16, "model.embed_size": 16,
+        "train.steps_per_dispatch": 0,
+    })
+    cfg = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, modalities=("image",)))
+    ds = dataclasses.replace(tiny_dataset, feats={"image": tiny_dataset.feats["image"]})
+    tr = Trainer(cfg, dataset=ds, logger=MetricLogger(quiet=True))
+    m = np.asarray(tr.train_batch(0))
+    assert np.isfinite(m).all()
+    res = tr.evaluate("val")
+    assert np.isfinite(res["recall"]).all()
