@@ -64,6 +64,10 @@ def _build_mesh(args):
     if spec == "auto":
         return make_mesh()
     d, _, m = spec.partition("x")
+    if not d.isdigit() or (m and not m.isdigit()):
+        raise SystemExit(
+            f"--mesh expects 'auto' or 'DxM' (data x model, e.g. 4x2); got {spec!r}"
+        )
     return make_mesh(mesh_shape=(int(d), int(m or 1)))
 
 
@@ -114,7 +118,7 @@ def cmd_recommend(args) -> int:
     from mmssl_tpu.utils.logging import MetricLogger
 
     cfg = _build_cfg(args)
-    trainer = Trainer(cfg, logger=MetricLogger(quiet=True))
+    trainer = Trainer(cfg, logger=MetricLogger(quiet=True), mesh=_build_mesh(args))
     if args.checkpoint_dir:
         trainer.resume()
     engine = RecommendEngine.from_trainer(trainer, topk_impl=getattr(args, "topk_impl", "exact"))
@@ -125,7 +129,7 @@ def cmd_recommend(args) -> int:
     if args.users:
         users = [int(u) for u in args.users.split(",")]
     else:
-        users = list(range(trainer.dataset.n_users))
+        users = list(range(trainer.ds.n_users))
     ids, scores = engine.recommend(users, k=args.top_k, exclude_train=not args.include_train)
     out = sys.stdout if not args.out else open(args.out, "w")
     try:
@@ -163,7 +167,11 @@ def _configure_jax(platform: str) -> None:
     # mismatch the current host is a hard abort (observed: a cached
     # +prefer-no-scatter entry killing the whole process) — and CPU
     # compiles are fast anyway.
-    on_cpu = platform == "cpu" or "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+    on_cpu = (
+        platform == "cpu"
+        or "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+        or "cpu" in str(jax.config.jax_platforms or "").lower()
+    )
     if not on_cpu:
         cache = os.environ.get("MMSSL_TPU_JAX_CACHE", os.path.expanduser("~/.cache/mmssl_tpu_jax"))
         jax.config.update("jax_compilation_cache_dir", cache)

@@ -419,6 +419,62 @@ def joint_bipartite_graph(R: sp.spmatrix, dtype=jnp.int8) -> BipartiteJointGraph
     )
 
 
+def joint_bipartite_from_norm_adj(
+    norm_adj: sp.spmatrix, n_users: int, n_items: int, dtype=jnp.int8
+) -> BipartiteJointGraph:
+    """Build :class:`BipartiteJointGraph` from a (possibly disk-cached) joint
+    ``norm_adj = D^-1 (A + I)`` — the ``s_norm_adj_mat.npz`` the reference's
+    ``get_adj_mat`` caches next to the data (MICRO/codes/utility/load_data.py:
+    99-112).  Dense mode thereby honors the exact same cache the COO path
+    trusts, instead of silently rebuilding from R (they could diverge if a
+    dataset dir ships a foreign cache).
+
+    Requires the reference factorization: diagonal blocks diagonal (the
+    self-loop scaled by the row factor) and row-constant off-diagonal values.
+    Raises ValueError for caches not of that form (use graph_impl='coo' for
+    arbitrary normalized adjacencies)."""
+    n = n_users + n_items
+    norm_adj = sp.csr_matrix(norm_adj)
+    if norm_adj.shape != (n, n):
+        raise ValueError(f"norm_adj shape {norm_adj.shape} != ({n}, {n})")
+    uu = sp.csr_matrix(norm_adj[:n_users, :n_users])
+    ii = sp.csr_matrix(norm_adj[n_users:, n_users:])
+    if (uu - sp.diags(uu.diagonal(), shape=uu.shape)).count_nonzero() or (
+        ii - sp.diags(ii.diagonal(), shape=ii.shape)
+    ).count_nonzero():
+        raise ValueError(
+            "cached norm_adj is not of the reference D^-1(A+I) form "
+            "(non-diagonal self blocks); use graph_impl='coo'"
+        )
+    inv_deg_u = uu.diagonal().astype(np.float32)  # 1 / (deg_u + 1)
+    inv_deg_i = ii.diagonal().astype(np.float32)
+
+    def _counts(block: sp.spmatrix, inv_scale: np.ndarray, what: str) -> np.ndarray:
+        # entries are count * inv_scale[row]; recover the integer counts
+        scale = np.where(inv_scale > 0, 1.0 / inv_scale, 0.0)
+        dense = np.asarray((sp.diags(scale) @ sp.csr_matrix(block)).todense(), np.float32)
+        if not np.allclose(dense, np.round(dense), atol=1e-3):
+            raise ValueError(
+                f"cached norm_adj {what} block is not row-constant; use graph_impl='coo'"
+            )
+        return np.round(dense).astype(np.float32)
+
+    r = _counts(norm_adj[:n_users, n_users:], inv_deg_u, "user-item")
+    rt = _counts(norm_adj[n_users:, :n_users], inv_deg_i, "item-user")
+    if dtype == jnp.int8:
+        if max(r.max(initial=0), rt.max(initial=0)) >= 128:
+            raise ValueError("int8 joint blocks need interaction counts < 128")
+        r, rt = r.astype(np.int8), rt.astype(np.int8)
+    else:
+        r, rt = r.astype(dtype), rt.astype(dtype)
+    return BipartiteJointGraph(
+        r=jnp.asarray(r),
+        rt=jnp.asarray(rt),
+        inv_deg_u=jnp.asarray(inv_deg_u),
+        inv_deg_i=jnp.asarray(inv_deg_i),
+    )
+
+
 def dense_from_coo(
     rows: jnp.ndarray,
     cols: jnp.ndarray,

@@ -37,9 +37,17 @@ def _internalize(tree: Any, template: Any) -> Any:
         if isinstance(tmpl, jax.Array) and jnp.issubdtype(tmpl.dtype, jax.dtypes.prng_key):
             # Re-wrap with the template's PRNG impl (train.prng_impl may be
             # rbg, whose key data is [4]xu32 vs threefry's [2]).
-            return jax.random.wrap_key_data(
-                jnp.asarray(restored, dtype=jnp.uint32), impl=jax.random.key_impl(tmpl)
-            )
+            data = jnp.asarray(restored, dtype=jnp.uint32)
+            impl = jax.random.key_impl(tmpl)
+            expect = jax.random.key_data(tmpl).shape
+            if tuple(data.shape) != tuple(expect):
+                raise ValueError(
+                    f"checkpoint PRNG key data has shape {tuple(data.shape)} but this "
+                    f"trainer's train.prng_impl ({impl}) expects {tuple(expect)} — the "
+                    "checkpoint was written under a different train.prng_impl; restore "
+                    "with the config it was saved under (or re-seed a fresh run)."
+                )
+            return jax.random.wrap_key_data(data, impl=impl)
         return restored
 
     return jax.tree.map(fix, tree, template)

@@ -287,11 +287,14 @@ class Trainer:
         if cfg.model.graph_impl == "dense":
             # Dense mode keeps the joint adjacency in its bipartite blocks:
             # the materialized (n_u+n_i)^2 matrix is 73% structural zeros
-            # (ops/sparse.BipartiteJointGraph).
-            from mmssl_tpu.ops.sparse import joint_bipartite_graph
+            # (ops/sparse.BipartiteJointGraph).  Derived from the SAME
+            # norm_adj the COO path uses (including the s_norm_adj_mat.npz
+            # disk cache, which the reference trusts), so the two modes can
+            # never diverge on a dataset dir shipping a foreign cache.
+            from mmssl_tpu.ops.sparse import joint_bipartite_from_norm_adj
 
             gdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8}[cfg.model.graph_dtype]
-            joint = joint_bipartite_graph(ds.R, gdtype)
+            joint = joint_bipartite_from_norm_adj(norm_adj, ds.n_users, ds.n_items, gdtype)
         self.sparse_mode = cfg.model.micro_sparse if name == "micro" else True
         cdt = resolve_dtype(cfg.model.compute_dtype)
         original_adjs: Dict[str, Any] = {}

@@ -73,3 +73,18 @@ def test_checkpoint_roundtrip_rbg_prng(tiny_dataset, tmp_path):
     m1 = tr.train_chunk(1, 2)
     m2 = tr2.train_chunk(1, 2)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-5, atol=1e-6)
+
+
+def test_prng_impl_mismatch_is_actionable():
+    """Restoring key data written under one train.prng_impl into a template
+    of another raises a clear error naming the impl, not a shape error deep
+    in wrap_key_data (ADVICE r1)."""
+    import jax
+    import pytest
+
+    from mmssl_tpu.train.checkpoint import _externalize, _internalize
+
+    threefry_data = _externalize({"rng": jax.random.key(0, impl="threefry2x32")})
+    rbg_template = {"rng": jax.random.key(0, impl="rbg")}
+    with pytest.raises(ValueError, match="prng_impl"):
+        _internalize(threefry_data, rbg_template)

@@ -61,3 +61,31 @@ def test_cli_mesh_train(tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["epochs_run"] == 1
+
+
+def test_cli_bad_mesh_spec(tmp_path):
+    with pytest.raises(SystemExit):
+        main([
+            "train", "--dataset", "d", "--data-path", str(tmp_path),
+            "--mesh", "4,2", "--epochs", "1",
+        ])
+
+
+def test_cli_recommend_all_users(tmp_path, capsys):
+    """recommend without --users serves the whole catalog (regression: the
+    all-users path read a nonexistent trainer.dataset attribute) and honors
+    --mesh (ADVICE r1: the flag was silently ignored)."""
+    rc = main(["synth", "--out", str(tmp_path), "--name", "r", "--users", "24", "--items", "16"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main([
+        "recommend", "--dataset", "r", "--model", "mf", "--data-path", str(tmp_path),
+        "--mesh", "4x2", "--top-k", "3",
+        "--set", "data.batch_size=8",
+        "--set", "model.embed_size=8",
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    rows = [json.loads(l) for l in lines if l.startswith("{")]
+    assert len(rows) == 24
+    assert all(len(r["items"]) == 3 for r in rows)

@@ -259,3 +259,34 @@ def test_bipartite_joint_graph_matches_joint_matrix():
     np.testing.assert_allclose(
         np.asarray(jax.grad(f_bip)(x)), np.asarray(jax.grad(f_ref)(x)), rtol=1e-4, atol=1e-5
     )
+
+
+def test_joint_bipartite_from_norm_adj_matches_direct():
+    """Dense mode derives its bipartite blocks from the (cacheable) norm_adj
+    and must equal the direct-from-R build (ADVICE r1: dense vs coo cache
+    divergence)."""
+    from mmssl_tpu.ops.sparse import joint_bipartite_from_norm_adj, joint_bipartite_graph
+
+    rng = np.random.default_rng(3)
+    R = _rand_csr(rng, 9, 6)
+    _, norm_adj, _ = joint_adj(R, 9, 6)
+    a = joint_bipartite_graph(R, jnp.float32)
+    b = joint_bipartite_from_norm_adj(norm_adj, 9, 6, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((15, 4)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(a.spmm(x)), np.asarray(b.spmm(x)), rtol=1e-5, atol=1e-6)
+
+
+def test_joint_bipartite_from_norm_adj_rejects_foreign_cache():
+    """A cached norm_adj that is not of the reference D^-1(A+I) form must be
+    rejected loudly, not silently replaced by a rebuild from R."""
+    import pytest
+
+    from mmssl_tpu.ops.sparse import joint_bipartite_from_norm_adj
+
+    rng = np.random.default_rng(4)
+    R = _rand_csr(rng, 5, 4)
+    _, norm_adj, _ = joint_adj(R, 5, 4)
+    bad = sp.lil_matrix(norm_adj)
+    bad[0, 1] = 0.123  # non-diagonal entry inside the user-user block
+    with pytest.raises(ValueError):
+        joint_bipartite_from_norm_adj(sp.csr_matrix(bad), 5, 4, jnp.float32)
