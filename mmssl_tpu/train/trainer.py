@@ -119,7 +119,10 @@ class Trainer:
         self.logger = logger or MetricLogger(name=f"{cfg.model.name}-{cfg.data.dataset}")
         self.sampler = NegativeSampler(self.ds, cfg.data.batch_size, seed=cfg.train.seed)
         self.sampler_consts = make_device_sampler_consts(self.ds)
-        self.evaluator = Evaluator(self.ds, cfg.eval)
+        # SPMD runs evaluate through the catalog-sharded top-k path when the
+        # mesh has a model axis (Evaluator falls back to the dense program
+        # for model_p == 1, non-divisible catalogs, or 'full' AUC mode).
+        self.evaluator = Evaluator(self.ds, cfg.eval, mesh=mesh)
         self.n_batch = self.ds.n_train // cfg.data.batch_size + 1
         self.feats = {m: jnp.asarray(f) for m, f in self.ds.feats.items()}
         self.feat_dims = {m: int(f.shape[1]) for m, f in self.ds.feats.items()}
