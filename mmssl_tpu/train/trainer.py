@@ -119,6 +119,30 @@ class Trainer:
         self.logger = logger or MetricLogger(name=f"{cfg.model.name}-{cfg.data.dataset}")
         self.sampler = NegativeSampler(self.ds, cfg.data.batch_size, seed=cfg.train.seed)
         self.sampler_consts = make_device_sampler_consts(self.ds)
+        # Per-batch host sampling goes through GlobalBatchLoader whenever a
+        # mesh is present: each process samples its slice of the global batch
+        # and jax.make_array_from_process_local_data assembles the device
+        # array (single-process degenerates to a device_put with the data-axis
+        # sharding, so the SAME code path runs single- and multi-host).  The
+        # fused-scan path samples on device and is multi-host-clean by
+        # construction.  Multi-process WITHOUT a mesh has no correct batch
+        # semantics — refuse instead of silently training on divergent
+        # per-process batches.
+        if jax.process_count() > 1 and mesh is None:
+            raise RuntimeError(
+                f"multi-process run ({jax.process_count()} processes) requires a mesh: "
+                "pass Trainer(..., mesh=make_mesh(...)) spanning all processes' devices"
+            )
+        self.batch_loader = None
+        if mesh is not None:
+            assert cfg.data.batch_size % mesh.shape["data"] == 0, (
+                "batch size must divide the mesh data axis"
+            )
+            from mmssl_tpu.parallel.data_loading import GlobalBatchLoader
+
+            self.batch_loader = GlobalBatchLoader(
+                self.sampler, mesh, cfg.data.batch_size, seed=cfg.train.seed
+            )
         # SPMD runs evaluate through the catalog-sharded top-k path when the
         # mesh has a model axis (Evaluator falls back to the dense program
         # for model_p == 1, non-divisible catalogs, or 'full' AUC mode).
@@ -252,9 +276,6 @@ class Trainer:
                 make_sharded_mmssl_step,
             )
 
-            assert self.cfg.data.batch_size % self.mesh.shape["data"] == 0, (
-                "batch size must divide the mesh data axis"
-            )
             self._sharded_step, self.state, self.consts = make_sharded_mmssl_step(
                 self.mesh, self.cfg, self.g_opt, self.d_opt,
                 self.ds.n_users, self.ds.n_items, self.state, self.consts,
@@ -368,8 +389,11 @@ class Trainer:
         Returns the packed metric vector (see ``metric_keys``) WITHOUT
         forcing a host sync."""
         self.fault_injector.maybe_fail("train_batch/sample")
-        users, pos, neg = self.sampler.sample()
-        users, pos, neg = jnp.asarray(users), jnp.asarray(pos), jnp.asarray(neg)
+        if self.batch_loader is not None:
+            users, pos, neg = self.batch_loader.next()
+        else:
+            users, pos, neg = self.sampler.sample()
+            users, pos, neg = jnp.asarray(users), jnp.asarray(pos), jnp.asarray(neg)
         if self.is_mmssl:
             t = max(self.cfg.train.densify_period, 1)
             rebuild = idx % t == 0 and idx != 0
