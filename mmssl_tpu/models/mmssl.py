@@ -158,6 +158,20 @@ def modality_attention(
     return Z
 
 
+def _mask_pad_rows(x: jnp.ndarray, n_real: Optional[int]) -> jnp.ndarray:
+    """Zero the geometry-padding tail rows (parallel sharding pads catalog
+    tables to mesh multiples; see Trainer._build_mmssl).  Pad rows stay
+    exactly zero through every propagation (the padded graphs have zero pad
+    rows/columns) EXCEPT through quirk Q3's last-layer row-softmax, which
+    turns a zero row into a uniform one — this mask restores the invariant so
+    full-catalog consumers (u_sim columns, the discriminator input width)
+    see zeros at pad positions.  No-op when n_real is None or nothing is
+    padded; real rows (values and gradients) are untouched."""
+    if n_real is None or n_real == x.shape[0]:
+        return x
+    return x * (jnp.arange(x.shape[0]) < n_real)[:, None].astype(x.dtype)
+
+
 class MMSSLDeterministic(NamedTuple):
     """Outputs of the dropout-free branch (ID propagation + attention +
     LightGCN).  Identical between the D-step and G-step forwards of one
@@ -212,10 +226,13 @@ def mmssl_deterministic_branch(
     cfg: ModelConfig,
     parity: ParityConfig,
     modalities: Tuple[str, ...],
+    n_items_real: Optional[int] = None,
 ) -> MMSSLDeterministic:
     """Steps 2b-5 of the forward (Models.py:179-214): modality-ID propagation
     over the densified graphs, attention fusion, residual into the ID tables,
-    LightGCN stack with quirk Q3."""
+    LightGCN stack with quirk Q3.  ``n_items_real``: real catalog size when
+    the item tables are geometry-padded to a mesh multiple (pad rows of
+    item_base are re-zeroed after Q3's softmax, see _mask_pad_rows)."""
     u_g, i_g, mm_user_id, mm_item_id = _id_attention_base(params, graphs, cfg, parity, modalities)
 
     user_acc, item_acc = u_g, i_g
@@ -233,7 +250,7 @@ def mmssl_deterministic_branch(
         i_cur = i_nxt
     return MMSSLDeterministic(
         user_base=user_acc / (cfg.n_ui_layers + 1),
-        item_base=item_acc / (cfg.n_ui_layers + 1),
+        item_base=_mask_pad_rows(item_acc / (cfg.n_ui_layers + 1), n_items_real),
         mm_user_id=mm_user_id,
         mm_item_id=mm_item_id,
     )
@@ -318,6 +335,7 @@ def mmssl_fused_forward(
     rng_d: jax.Array,
     rng_g: jax.Array,
     train: bool = True,
+    n_items_real: Optional[int] = None,
 ) -> MMSSLFusedOut:
     """Both per-batch forwards (D-step + G-step) as ONE propagation pass.
 
@@ -368,7 +386,7 @@ def mmssl_fused_forward(
 
     return MMSSLFusedOut(
         user_base=user_acc / (cfg.n_ui_layers + 1),
-        item_base=item_acc / (cfg.n_ui_layers + 1),
+        item_base=_mask_pad_rows(item_acc / (cfg.n_ui_layers + 1), n_items_real),
         mm_user_id=mm_user_id,
         mm_item_id=mm_item_id,
         d_user_feats=_split(uw_d),
@@ -400,13 +418,14 @@ def apply_mmssl(
     parity: ParityConfig,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    n_items_real: Optional[int] = None,
 ) -> MMSSLOutput:
     modalities = tuple(sorted(feats))
     # NOTE rng threading: dropout keys are drawn per modality inside
     # mmssl_modality_feats in the same (sorted) order as the original
     # monolithic forward, so draws are unchanged.
     mm_user_feats, mm_item_feats = mmssl_modality_feats(params, graphs, feats, cfg, train, rng)
-    det = mmssl_deterministic_branch(params, graphs, cfg, parity, modalities)
+    det = mmssl_deterministic_branch(params, graphs, cfg, parity, modalities, n_items_real)
     u_g, i_g = mmssl_combine(det, mm_user_feats, mm_item_feats, cfg)
     return MMSSLOutput(
         user_emb=u_g,

@@ -39,9 +39,20 @@ from mmssl_tpu.train.steps_mmssl import (
 )
 
 
+_warned_replicated: set = set()
+
+
 def _sharding_for_leaf(mesh: Mesh, path: Tuple, leaf: Any) -> NamedSharding:
     """Row-shard 2D tensors whose leading dim is a catalog axis; replicate
-    the rest.  Path-based policy keyed on parameter names."""
+    the rest.  Path-based policy keyed on parameter names.
+
+    Catalog tables always divide the model axis in production: the Trainer
+    geometry-pads user/item row counts to mesh multiples at build time
+    (Trainer._build_mmssl), so user_emb/item_emb/feats/l1/graph rows shard at
+    ANY dataset scale.  A marked tensor that still fails divisibility (e.g.
+    the discriminator's l2, whose row count n_items//4 is not padded — 42 MB
+    at Sports scale, cheap to replicate) falls back to replication with a
+    one-time warning instead of silently degrading."""
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     joined = "/".join(str(n) for n in names)
     ndim = getattr(leaf, "ndim", 0)
@@ -55,15 +66,22 @@ def _sharding_for_leaf(mesh: Mesh, path: Tuple, leaf: Any) -> NamedSharding:
     # over the catalog axis.  SparseGraph COO leaves under the same paths are
     # 1-D and fall through to replication.
     row_sharded_markers = ("user_emb", "item_emb", "feats", "train_pad", "ui", "iu")
-    if any(m in joined for m in row_sharded_markers) and rows_divisible():
-        return NamedSharding(mesh, P(MODEL_AXIS, *([None] * (ndim - 1))))
     # Discriminator tower: l1 [n_items, n/4] and l2 [n/4, n/8] row-sharded
     # (the row dim is the contraction dim of their matmuls, so the local
-    # partial products reduce with one psum each).  Non-divisible dims fall
-    # back to replication (tables are padded to mesh multiples by the
-    # trainer when sharding is enabled).
-    if ("l1/w" in joined or "l2/w" in joined) and rows_divisible():
-        return NamedSharding(mesh, P(MODEL_AXIS, None))
+    # partial products reduce with one psum each).
+    marked = any(m in joined for m in row_sharded_markers) or (
+        "l1/w" in joined or "l2/w" in joined
+    )
+    if marked and rows_divisible():
+        return NamedSharding(mesh, P(MODEL_AXIS, *([None] * (ndim - 1))))
+    if marked and ndim >= 2 and model_size > 1 and joined not in _warned_replicated:
+        _warned_replicated.add(joined)
+        import logging
+
+        logging.getLogger("mmssl_tpu.spmd").warning(
+            "replicating %s (shape %s): rows %% model axis (%d) != 0",
+            joined, tuple(leaf.shape), model_size,
+        )
     return NamedSharding(mesh, P())
 
 

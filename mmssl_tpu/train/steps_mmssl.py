@@ -208,15 +208,26 @@ def u_sim(
 
 
 def gumbel_soften_rows(
-    u_ui: jnp.ndarray, ui_sim: jnp.ndarray, rng: jax.Array, cfg: ExperimentConfig, dtype=None
+    u_ui: jnp.ndarray, ui_sim: jnp.ndarray, rng: jax.Array, cfg: ExperimentConfig,
+    dtype=None, n_items_real: "int | None" = None,
 ) -> jnp.ndarray:
     """'Real' rows for the discriminator (main.py:349-352, quirk Q4):
     softmax(u_ui + scale * gumbel / tau) + ui_sim * ui_pre_scale, L2 rows.
-    Math in f32; stored at ``dtype`` when set (see u_sim)."""
+    Math in f32; stored at ``dtype`` when set (see u_sim).
+
+    ``n_items_real``: with geometry-padded item tables the Gumbel noise is
+    drawn at the REAL width (identical PRNG consumption to an unpadded run)
+    and the pad logits are forced to -1e9, so the softmax mass — and hence
+    the produced rows — exactly matches the unpadded computation."""
     t = cfg.train
-    u = jax.random.uniform(rng, u_ui.shape, dtype=jnp.float32)
+    B, ni = u_ui.shape
+    nr = n_items_real if n_items_real is not None else ni
+    u = jax.random.uniform(rng, (B, nr), dtype=jnp.float32)
     gumbel = -jnp.log(-jnp.log(u + 1e-8) + 1e-8)
-    soft = jax.nn.softmax(u_ui + t.log_log_scale * gumbel / t.real_data_tau, axis=1)
+    logits = u_ui[:, :nr] + t.log_log_scale * gumbel / t.real_data_tau
+    if nr != ni:
+        logits = jnp.pad(logits, ((0, 0), (0, ni - nr)), constant_values=-1e9)
+    soft = jax.nn.softmax(logits, axis=1)
     soft = soft + ui_sim.astype(jnp.float32) * t.ui_pre_scale
     soft = l2_normalize(soft, axis=1)
     return soft if dtype is None else soft.astype(dtype)
@@ -262,8 +273,12 @@ def _accumulate_or_rebuild(
     cfg: ExperimentConfig,
     n_users: int,
     n_items: int,
+    nu_pad: "int | None" = None,
+    ni_pad: "int | None" = None,
 ) -> Tuple[Dict[str, SparseGraph], Dict[str, SparseGraph], Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
-    k = densify_topk(cfg, n_items)
+    k = densify_topk(cfg, n_items)  # k from the REAL catalog size (main.py:400)
+    nu_pad = nu_pad if nu_pad is not None else n_users
+    ni_pad = ni_pad if ni_pad is not None else n_items
     modalities = sorted(mod_sims)
     new_ui, new_iu, new_rows, new_cols, new_cnt = {}, {}, {}, {}, {}
     for m in modalities:
@@ -275,13 +290,21 @@ def _accumulate_or_rebuild(
             # capacity makes the scatter negligible, while a dense rebuild
             # would re-scatter an n_users x n_items buffer every T batches.
             valid = jnp.arange(cap) < cnt
-            g_ui = device_row_norm_inv_sqrt(rows, cols, valid, (n_users, n_items))
-            g_iu = device_row_norm_inv_sqrt(cols, rows, valid, (n_items, n_users))
+            g_ui = device_row_norm_inv_sqrt(rows, cols, valid, (nu_pad, ni_pad))
+            g_iu = device_row_norm_inv_sqrt(cols, rows, valid, (ni_pad, nu_pad))
             return g_ui, g_iu, rows, cols, jnp.zeros((), jnp.int32)
 
         def accumulate(rows=rows, cols=cols, cnt=cnt, m=m):
             if k > 0:
-                _, top_ids = jax.lax.top_k(mod_sims[m], k)  # [B, k]
+                sims = mod_sims[m]
+                if ni_pad != n_items:
+                    # Geometry-padded item axis: pad columns hold exact zeros,
+                    # which would outrank negative real scores — force them
+                    # below any real value before the top-k.
+                    sims = jnp.where(
+                        jnp.arange(ni_pad) < n_items, sims, jnp.finfo(sims.dtype).min
+                    )
+                _, top_ids = jax.lax.top_k(sims, k)  # [B, k]
                 add_rows = jnp.repeat(users.astype(jnp.int32), k)
                 add_cols = top_ids.reshape(-1).astype(jnp.int32)
                 nr = jax.lax.dynamic_update_slice(rows, add_rows, (cnt,))
@@ -315,6 +338,16 @@ def mmssl_train_step_impl(
     modalities = sorted(consts.feats)
     rng, r_fwd0, r_gum, r_df, r_dr, r_gp, r_gfwd, r_gd = jax.random.split(state.rng, 8)
 
+    # Geometry padding (parallel/spmd.py): catalog tables may be padded to
+    # mesh multiples; n_users/n_items stay the REAL counts (k, feat_reg
+    # normalization) while array widths come from the padded shapes.  Pad
+    # rows/columns hold exact zeros throughout (see models/mmssl
+    # _mask_pad_rows), so every full-catalog computation below matches the
+    # unpadded run bit-for-bit given the same PRNG draws.
+    nu_pad = consts.train_pad.shape[0]
+    ni_pad = next(iter(consts.feats.values())).shape[0]
+    items_padded = ni_pad != n_items
+
     # use_init_static=False: the host knows the first densification rebuild
     # already happened (state.use_init is monotonically False afterwards), so
     # the per-step lax.cond in the modality-ID propagation is compiled out.
@@ -327,7 +360,7 @@ def mmssl_train_step_impl(
         use_init=None if use_init_static is False else state.use_init,
     )
     item_rows = consts.train_pad[users]  # [B, max_deg], shared by u_ui + lowrank
-    u_ui = interaction_rows(item_rows, n_items)
+    u_ui = interaction_rows(item_rows, ni_pad)
     # Static: resolved by the Trainer ('auto' -> 'on'/'off' given dtype,
     # max_deg, and the duplicate-train-items check).
     lowrank = cfg.model.disc_lowrank == "on"
@@ -339,7 +372,8 @@ def mmssl_train_step_impl(
     # draw).  The G step pulls its gradients back through fwd_vjp; the D
     # step consumes the primals as constants.
     fwd_fn = lambda p: mmssl_fused_forward(
-        p, graphs, consts.feats, cfg.model, cfg.parity, r_fwd0, r_gfwd, train=True
+        p, graphs, consts.feats, cfg.model, cfg.parity, r_fwd0, r_gfwd, train=True,
+        n_items_real=n_items if items_padded else None,
     )
     if cfg.train.remat:
         fwd_fn = jax.checkpoint(fwd_fn)
@@ -354,7 +388,9 @@ def mmssl_train_step_impl(
         for m in modalities
     }
     inputf = jnp.concatenate([d_parts[m].sim for m in modalities], axis=0)  # [M*B, n_items]
-    real = gumbel_soften_rows(u_ui, ui_sim, r_gum, cfg, cdt)
+    real = gumbel_soften_rows(
+        u_ui, ui_sim, r_gum, cfg, cdt, n_items_real=n_items if items_padded else None
+    )
     inputr = jnp.concatenate([real] * len(modalities), axis=0)
 
     def d_loss_fn(d_params):
@@ -442,7 +478,8 @@ def mmssl_train_step_impl(
 
     # ---- densification cadence (main.py:378-405) ----
     new_ui, new_iu, new_rows, new_cols, new_cnt = _accumulate_or_rebuild(
-        state, aux["mod_sims"], users, do_rebuild, cfg, n_users, n_items
+        state, aux["mod_sims"], users, do_rebuild, cfg, n_users, n_items,
+        nu_pad=nu_pad, ni_pad=ni_pad,
     )
 
     new_state = MMSSLTrainState(

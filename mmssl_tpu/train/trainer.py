@@ -192,10 +192,37 @@ class Trainer:
 
     def _build_mmssl(self) -> None:
         cfg, ds = self.cfg, self.ds
-        ui_norm = csr_norm(ds.R, mean_flag=True)  # MMSSL/main.py:66-67
-        iu_norm = csr_norm(ds.R.T, mean_flag=True)
+        # Geometry padding: on a model-axis mesh, catalog tables (user/item
+        # embeddings, feats, discriminator l1, the bipartite graphs) are
+        # padded to mesh-multiple row counts so EVERY table actually shards
+        # instead of silently replicating (e.g. Amazon-Baby's 19,445-row user
+        # table on a model=2 mesh).  Pad rows are exact zeros and stay zero:
+        # the padded graphs have zero pad rows/columns, the optimizers
+        # preserve zeros under zero gradients, and the train step re-zeros
+        # the one place quirk Q3's row-softmax would break the invariant
+        # (models/mmssl._mask_pad_rows) — so training numerics match the
+        # unpadded run bit-for-bit given the same PRNG draws.  Semantic
+        # counts (sampling, top-k k, feat-reg normalization, eval) all use
+        # the REAL n_users/n_items.
+        model_p = self.mesh.shape["model"] if self.mesh is not None else 1
+        pad_to = lambda n: ((n + model_p - 1) // model_p) * model_p
+        self.n_users_pad = pad_to(ds.n_users)
+        self.n_items_pad = pad_to(ds.n_items)
+        pu, pi = self.n_users_pad - ds.n_users, self.n_items_pad - ds.n_items
+        R = ds.R
+        if pu or pi:
+            import scipy.sparse as sp
+
+            coo = R.tocoo()
+            R = sp.csr_matrix(
+                (coo.data, (coo.row, coo.col)), shape=(self.n_users_pad, self.n_items_pad)
+            )
+        ui_norm = csr_norm(R, mean_flag=True)  # MMSSL/main.py:66-67
+        iu_norm = csr_norm(R.T, mean_flag=True)
         cap = graph_capacity(cfg, ds.n_items)
         train_pad, _ = ds.padded_split("train")
+        if pu:
+            train_pad = np.pad(train_pad, ((0, pu), (0, 0)), constant_values=-1)
         ui_g = SparseGraph.from_scipy(ui_norm)
         iu_g = SparseGraph.from_scipy(iu_norm)
         if cfg.model.graph_impl == "dense":
@@ -210,15 +237,28 @@ class Trainer:
         # is 115 MB f32 at Baby scale, read by two dropout draws + their
         # VJPs each step).  Numerics are identical to the per-step cast.
         cdt = resolve_dtype(cfg.model.compute_dtype)
-        feats_c = self.feats if cdt is None else {m: f.astype(cdt) for m, f in self.feats.items()}
+        feats_p = self.feats
+        if pi:
+            feats_p = {m: jnp.pad(f, ((0, pi), (0, 0))) for m, f in feats_p.items()}
+        feats_c = feats_p if cdt is None else {m: f.astype(cdt) for m, f in feats_p.items()}
         self.consts = MMSSLConsts(
             feats=feats_c,
             ui=ui_g,
             iu=iu_g,
             train_pad=jnp.asarray(train_pad),
         )
+        # Init at the REAL dims (identical RNG draws and init statistics to an
+        # unpadded run), then zero-pad table rows to the mesh multiples.
         params = init_mmssl(self._split_rng(), ds.n_users, ds.n_items, self.feat_dims, cfg.model)
         d_params = init_discriminator(self._split_rng(), ds.n_items, cfg.model)
+        if pu:
+            params["user_emb"] = jnp.pad(params["user_emb"], ((0, pu), (0, 0)))
+        if pi:
+            params["item_emb"] = jnp.pad(params["item_emb"], ((0, pi), (0, 0)))
+            # l1 rows are the item axis (contraction dim of the tower's first
+            # GEMM); zero pad rows contribute zero there and receive zero
+            # gradient from the zero pad columns of every input row.
+            d_params["l1"]["w"] = jnp.pad(d_params["l1"]["w"], ((0, pi), (0, 0)))
         self.g_opt = make_generator_optimizer(
             cfg.train.lr,
             constant_lr=cfg.parity.mmssl_constant_lr,
@@ -254,8 +294,8 @@ class Trainer:
             d_params=d_params,
             opt_state=self.g_opt.init(params),
             d_opt_state=self.d_opt.init(d_params),
-            mod_ui={m: empty_graph((ds.n_users, ds.n_items)) for m in modalities},
-            mod_iu={m: empty_graph((ds.n_items, ds.n_users)) for m in modalities},
+            mod_ui={m: empty_graph((self.n_users_pad, self.n_items_pad)) for m in modalities},
+            mod_iu={m: empty_graph((self.n_items_pad, self.n_users_pad)) for m in modalities},
             buf_rows={m: jnp.zeros((cap,), jnp.int32) for m in modalities},
             buf_cols={m: jnp.zeros((cap,), jnp.int32) for m in modalities},
             buf_count={m: jnp.zeros((), jnp.int32) for m in modalities},
@@ -461,8 +501,12 @@ class Trainer:
                 mod_ui=self.state.mod_ui, mod_iu=self.state.mod_iu,
                 use_init=self.state.use_init,
             )
-            out = apply_mmssl(self.state.params, graphs, self.consts.feats, cfg.model, cfg.parity, train=False)
-            return out.user_emb, out.item_emb
+            out = apply_mmssl(
+                self.state.params, graphs, self.consts.feats, cfg.model, cfg.parity,
+                train=False, n_items_real=self.ds.n_items,
+            )
+            # Slice off geometry-padding rows (no-op when unpadded).
+            return out.user_emb[: self.ds.n_users], out.item_emb[: self.ds.n_items]
         if name == "lattice":
             # Reference test() rebuilds the item graph (build_item_graph=True).
             out = apply_lattice(
