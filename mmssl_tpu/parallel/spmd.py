@@ -65,7 +65,14 @@ def _sharding_for_leaf(mesh: Mesh, path: Tuple, leaf: Any) -> NamedSharding:
     # "mod_ui/image/0"): [n_users|n_items, n_cols] adjacencies row-sharded
     # over the catalog axis.  SparseGraph COO leaves under the same paths are
     # 1-D and fall through to replication.
-    row_sharded_markers = ("user_emb", "item_emb", "feats", "train_pad", "ui", "iu")
+    # "joint" covers BipartiteJointGraph's dense R/R^T blocks; "item_state" /
+    # "original_adjs" cover LATTICE/MICRO's [n_items, n_items] learned and
+    # kNN item graphs (their SparseGraph variants have 1-D leaves and fall
+    # through to replication).
+    row_sharded_markers = (
+        "user_emb", "item_emb", "feats", "train_pad", "ui", "iu",
+        "joint", "item_state", "original_adjs",
+    )
     # Discriminator tower: l1 [n_items, n/4] and l2 [n/4, n/8] row-sharded
     # (the row dim is the contraction dim of their matmuls, so the local
     # partial products reduce with one psum each).
@@ -177,6 +184,82 @@ def make_sharded_mmssl_epoch(
         static_argnums=(4, 5),
         in_shardings=(state_sh, consts_sh, sampler_sh, scalar_sh),
         out_shardings=(state_sh, scalar_sh),
+        donate_argnums=(0,),
+    )
+    return epoch, jax.device_put(sampler_consts, sampler_sh)
+
+
+def make_sharded_simple_step(
+    mesh: Mesh,
+    cfg: ExperimentConfig,
+    opt: optax.GradientTransformation,
+    state,
+    consts,
+    sparse: bool = True,
+):
+    """SPMD variants of the single-optimizer train step (LATTICE/MICRO/CF
+    baselines, train/steps_simple.py), mirroring make_sharded_mmssl_step.
+
+    Returns (step_build, step_nobuild, sharded_state, sharded_consts): the
+    two compiled programs per model (build_item_graph is a compile-time
+    branch — the build variant carries the n_items^2 kNN + top-k, which is
+    exactly the tensor that wants the catalog axis).  Tables/feats/joint
+    blocks/item graphs shard per tree_shardings; batch arrays ride the data
+    axis; XLA places the psums/all-gathers."""
+    from mmssl_tpu.train.steps_simple import simple_train_step_impl
+
+    state_sh = tree_shardings(mesh, state)
+    consts_sh = tree_shardings(mesh, consts)
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    metrics_sh = NamedSharding(mesh, P())
+
+    def make(build: bool):
+        return jax.jit(
+            partial(
+                simple_train_step_impl,
+                cfg=cfg, opt=opt, build_item_graph=build, sparse=sparse,
+            ),
+            in_shardings=(state_sh, consts_sh, batch_sh, batch_sh, batch_sh),
+            out_shardings=(state_sh, metrics_sh),
+            donate_argnums=(0,),
+        )
+
+    return (
+        make(True), make(False),
+        jax.device_put(state, state_sh), jax.device_put(consts, consts_sh),
+    )
+
+
+def make_sharded_simple_epoch(
+    mesh: Mesh,
+    cfg: ExperimentConfig,
+    opt: optax.GradientTransformation,
+    state,
+    consts,
+    sampler_consts,
+    n_items: int,
+    sparse: bool = True,
+):
+    """Fused-chunk SPMD variant of the simple-model epoch scan (on-device
+    sampling, no per-step host traffic), sharded identically to
+    make_sharded_simple_step so both programs run on the same buffers.
+    Returns (epoch_fn, sharded_sampler_consts); epoch_fn(state, consts,
+    sampler, n_steps) with n_steps static."""
+    from mmssl_tpu.train.steps_simple import simple_train_epoch_impl
+
+    state_sh = tree_shardings(mesh, state)
+    consts_sh = tree_shardings(mesh, consts)
+    sampler_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()), sampler_consts)
+    metrics_sh = NamedSharding(mesh, P())
+
+    epoch = jax.jit(
+        partial(
+            simple_train_epoch_impl,
+            n_items=n_items, cfg=cfg, opt=opt, sparse=sparse,
+        ),
+        static_argnums=(3,),  # n_steps
+        in_shardings=(state_sh, consts_sh, sampler_sh),
+        out_shardings=(state_sh, metrics_sh),
         donate_argnums=(0,),
     )
     return epoch, jax.device_put(sampler_consts, sampler_sh)

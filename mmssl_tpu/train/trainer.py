@@ -415,6 +415,22 @@ class Trainer:
             rng=self._split_rng(),
             step=jnp.zeros((), jnp.int32),
         )
+        self._sharded_simple = None
+        self._sharded_simple_epoch = None
+        if self.mesh is not None:
+            from mmssl_tpu.parallel.spmd import (
+                make_sharded_simple_epoch,
+                make_sharded_simple_step,
+            )
+
+            step_build, step_nobuild, self.state, self.consts = make_sharded_simple_step(
+                self.mesh, cfg, self.opt, self.state, self.consts, sparse=self.sparse_mode
+            )
+            self._sharded_simple = {True: step_build, False: step_nobuild}
+            self._sharded_simple_epoch, self.sampler_consts = make_sharded_simple_epoch(
+                self.mesh, cfg, self.opt, self.state, self.consts,
+                self.sampler_consts, ds.n_items, sparse=self.sparse_mode,
+            )
 
     # ------------------------------------------------------------------
     @property
@@ -455,10 +471,15 @@ class Trainer:
             # LATTICE/MICRO rebuild the learned item graph only on the first
             # batch of each epoch (LATTICE/codes/main.py:77,84-85).
             build = idx == 0 and self.cfg.model.name in ("lattice", "micro")
-            self.state, metrics = simple_train_step(
-                self.state, self.consts, users, pos, neg, self.cfg, self.opt,
-                build_item_graph=build, sparse=self.sparse_mode,
-            )
+            if self._sharded_simple is not None:
+                self.state, metrics = self._sharded_simple[build](
+                    self.state, self.consts, users, pos, neg
+                )
+            else:
+                self.state, metrics = simple_train_step(
+                    self.state, self.consts, users, pos, neg, self.cfg, self.opt,
+                    build_item_graph=build, sparse=self.sparse_mode,
+                )
         return metrics
 
     def train_chunk(self, start_idx: int, n_steps: int) -> jnp.ndarray:
@@ -484,6 +505,10 @@ class Trainer:
                     self.cfg, self.g_opt, self.d_opt, self.ds.n_users, self.ds.n_items,
                 )
             self._densified = self._densified or chunk_rebuilds
+        elif self._sharded_simple_epoch is not None:
+            self.state, metrics = self._sharded_simple_epoch(
+                self.state, self.consts, self.sampler_consts, n_steps
+            )
         else:
             self.state, metrics = simple_train_epoch(
                 self.state, self.consts, self.sampler_consts,
@@ -556,13 +581,10 @@ class Trainer:
             # dispatches with on-device sampling (zero per-step host traffic;
             # each roundtrip costs ~40 ms on a relay-attached TPU).  The
             # LATTICE/MICRO first batch must rebuild the learned item graph
-            # (build_item_graph=True is a different compiled program).  The
-            # mesh path fuses for MMSSL (make_sharded_mmssl_epoch); the
-            # simple models are not mesh-sharded, so they fall back to
-            # per-batch dispatches under a mesh.
+            # (build_item_graph=True is a different compiled program).  Under
+            # a mesh both the MMSSL and simple-model paths dispatch the
+            # sharded scan programs (make_sharded_*_epoch).
             spd = cfg.train.steps_per_dispatch
-            if self.mesh is not None and not self.is_mmssl:
-                spd = 0
             if spd > 0:
                 if cfg.model.name in ("lattice", "micro"):
                     metric_rows.append(self.train_batch(0)[None])
