@@ -128,9 +128,9 @@ class Evaluator:
     """Holds device-resident protocol state (pads, counts) for a dataset.
 
     Pass a mesh to run catalog-sharded scoring + distributed top-k
-    (parallel/eval_sharded.py); requires n_items divisible by the model axis
-    and 'part' test mode (full-AUC needs the whole score row and falls back
-    to the dense path)."""
+    (parallel/eval_sharded.py) in 'part' test mode; odd catalogs are
+    zero-padded to a mesh multiple on device with pad items masked to -inf.
+    'full' AUC mode needs the whole score row and uses the dense path."""
 
     def __init__(self, dataset: RecDataset, cfg: EvalConfig, mesh=None):
         self.cfg = cfg
@@ -149,12 +149,20 @@ class Evaluator:
         self.mesh = mesh
         self._batched: Dict = {}
         self._sharded_topk = None
+        self.n_items_pad = dataset.n_items
         if mesh is not None and cfg.test_flag != "full":
             model_p = mesh.shape.get("model", 1)
-            if model_p > 1 and dataset.n_items % model_p == 0:
+            if model_p > 1:
                 from mmssl_tpu.parallel.eval_sharded import make_sharded_topk
 
-                self._sharded_topk = make_sharded_topk(mesh, max(self.ks))
+                # Odd catalogs shard too: pad the item axis to a mesh
+                # multiple with zero rows (done on device in evaluate());
+                # pad items are masked to -inf inside the kernel.
+                self.n_items_pad = -(-dataset.n_items // model_p) * model_p
+                real = dataset.n_items if self.n_items_pad != dataset.n_items else None
+                self._sharded_topk = make_sharded_topk(
+                    mesh, min(max(self.ks), dataset.n_items), n_items_real=real
+                )
 
     def evaluate(self, u_emb: jnp.ndarray, i_emb: jnp.ndarray, which: str = "val") -> Dict[str, np.ndarray]:
         """Returns {'recall': [len(ks)], 'precision': ..., 'ndcg': ...,
@@ -184,6 +192,8 @@ class Evaluator:
 
         from mmssl_tpu.parallel.eval_sharded import shard_items
 
+        if i_emb.shape[0] < self.n_items_pad:
+            i_emb = jnp.pad(i_emb, ((0, self.n_items_pad - i_emb.shape[0]), (0, 0)))
         i_emb_sharded = shard_items(self.mesh, i_emb)
         totals: Dict[str, jnp.ndarray] = {}
         for start in range(0, max(n_users, 1), bs):

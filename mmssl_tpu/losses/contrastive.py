@@ -89,6 +89,17 @@ def infonce_sharded(
 
     Equivalent to ``infonce`` on the concatenated arrays (denominators are
     global sums; the diagonal terms live on the owning device).
+
+    STATUS: this is the shard_map REFERENCE implementation of the §5.7
+    catalog-axis collective pattern (all-gather columns, psum denominators),
+    pinned by tests/test_losses.py.  The production SPMD train step does NOT
+    call it: the XLA partitioner over the sharding-annotated ``infonce`` call
+    emits the same all-gather/psum schedule from the (data, model) operand
+    shardings, and hand-placing the collectives measured no win over letting
+    the partitioner fuse them with the surrounding step (docs/performance.md,
+    "collective choices vs the survey's ring sketch").  Keep it as the
+    executable spec for the pattern; route through it only if a future
+    profile shows the partitioner mis-scheduling these collectives.
     """
     a_local = l2_normalize(z1_local, axis=1)
     b_local = l2_normalize(z2_local, axis=1)

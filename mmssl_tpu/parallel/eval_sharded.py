@@ -31,11 +31,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mmssl_tpu.parallel.mesh import MODEL_AXIS
 
 
-def make_sharded_topk(mesh: Mesh, k_max: int):
+def make_sharded_topk(mesh: Mesh, k_max: int, n_items_real: "int | None" = None):
     """Returns topk(u_rows [B, d], i_emb [n_items, d], u_train [B, max_deg])
     -> (vals [B, k_max], ids [B, k_max]); i_emb sharded on rows over
     MODEL_AXIS, u_rows/u_train replicated.  u_train lists the items to
-    exclude per row (pad < 0)."""
+    exclude per row (pad < 0).
+
+    ``n_items_real``: when the item axis is geometry-padded to a mesh
+    multiple (zero pad rows appended so odd catalogs still shard), items with
+    global index >= n_items_real are masked to -inf — one compare+select on
+    the local score block — so pad items can never be recommended and the
+    result equals the unpadded computation."""
 
     def _local(u_rows, i_shard, u_train):
         n_local = i_shard.shape[0]
@@ -43,6 +49,9 @@ def make_sharded_topk(mesh: Mesh, k_max: int):
         shard_ix = jax.lax.axis_index(MODEL_AXIS)
         offset = shard_ix * n_local
         scores = u_rows @ i_shard.T  # [B, n_local]
+        if n_items_real is not None:
+            global_ids = offset + jnp.arange(n_local)
+            scores = jnp.where(global_ids < n_items_real, scores, -jnp.inf)
         # Exclude train items that fall in this shard: local index or OOB.
         local_cols = u_train - offset
         in_shard = (u_train >= offset) & (u_train < offset + n_local) & (u_train >= 0)

@@ -96,6 +96,16 @@ def bench_model(name: str) -> dict:
             "train.d_moment_dtype": "bfloat16",
             "train.prng_impl": "rbg",
         })
+    # Ad-hoc experiment overrides, e.g.
+    #   MMSSL_BENCH_OVERRIDES="model.disc_lowrank=on" python scripts/bench_zoo.py mmssl_sports
+    # (same typed dotted-key parser as the CLI's --set).
+    ov = os.environ.get("MMSSL_BENCH_OVERRIDES", "")
+    if ov:
+        from mmssl_tpu.cli.main import _parse_overrides
+        from mmssl_tpu.config import _nested_replace
+
+        cfg = _nested_replace(cfg, _parse_overrides(ov.split(",")))
+        log(f"bench_zoo[{name}]: overrides {ov}")
     # Features on device (relay uploads are ~1.2 MB/s; timing is content-free).
     key = jax.random.key(0)
     for i, (m, dim) in enumerate(dims.items()):

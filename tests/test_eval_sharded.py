@@ -65,6 +65,29 @@ def test_evaluator_with_mesh_matches_dense(tiny_dataset):
         np.testing.assert_allclose(sharded[m], dense[m], rtol=1e-5, atol=1e-6)
 
 
+def test_evaluator_mesh_odd_catalog_matches_dense(tmp_path):
+    """Odd catalogs no longer fall back to the dense path: the item axis is
+    zero-padded to a mesh multiple on device and pad items are masked to
+    -inf inside the sharded top-k kernel."""
+    from mmssl_tpu.config import DataConfig
+    from mmssl_tpu.data import load_dataset, write_synthetic_dataset
+
+    root = str(tmp_path)
+    write_synthetic_dataset(root, "odd", n_users=41, n_items=27, seed=13)
+    ds = load_dataset(DataConfig(data_path=root, dataset="odd", batch_size=16))
+    mesh = make_mesh(8, mesh_shape=(4, 2))  # 27 % 2 != 0 -> pads to 28
+    rng = np.random.default_rng(4)
+    u_emb = jnp.asarray((rng.integers(-8, 9, (ds.n_users, 8)) / 16).astype(np.float32))
+    i_emb = jnp.asarray((rng.integers(-8, 9, (ds.n_items, 8)) / 16).astype(np.float32))
+    cfg = EvalConfig(ks=(3, 5, 10), user_batch_size=16)
+    dense = Evaluator(ds, cfg).evaluate(u_emb, i_emb, "test")
+    sharded_ev = Evaluator(ds, cfg, mesh=mesh)
+    assert sharded_ev._sharded_topk is not None and sharded_ev.n_items_pad == 28
+    sharded = sharded_ev.evaluate(u_emb, i_emb, "test")
+    for m in ("recall", "precision", "ndcg", "hit_ratio"):
+        np.testing.assert_allclose(sharded[m], dense[m], rtol=1e-5, atol=1e-6)
+
+
 def test_global_batch_loader(tiny_dataset):
     from mmssl_tpu.data import NegativeSampler
     from mmssl_tpu.parallel.data_loading import GlobalBatchLoader
