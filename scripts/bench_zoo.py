@@ -53,7 +53,11 @@ def synth_dataset(name: str, spec: dict):
     return load_dataset(DataConfig(data_path=root, dataset=name, batch_size=1024))
 
 
-def bench_model(name: str) -> dict:
+def build_trainer(name: str):
+    """Construct the benchmarked Trainer for a zoo entry (shared with
+    scripts/profile_step.py so profiles measure exactly the benched program).
+
+    Returns (trainer, steps_per_dispatch, batch_size)."""
     import bench
     from mmssl_tpu.config import preset
     from mmssl_tpu.train.trainer import Trainer
@@ -110,9 +114,23 @@ def bench_model(name: str) -> dict:
     key = jax.random.key(0)
     for i, (m, dim) in enumerate(dims.items()):
         ds.feats[m] = jax.random.normal(jax.random.fold_in(key, i), (ds.n_items, dim), jnp.float32)
-    tr = Trainer(cfg, dataset=ds, logger=MetricLogger(quiet=True))
-    spd = max(cfg.train.steps_per_dispatch, 1)
-    B = cfg.data.batch_size
+    # MMSSL_BENCH_MESH="1x1" runs the SPMD program (sharded step + mesh-placed
+    # state) instead of the unsharded one — the overhead-vs-unsharded probe.
+    mesh = None
+    mspec = os.environ.get("MMSSL_BENCH_MESH", "")
+    if mspec:
+        from mmssl_tpu.parallel.mesh import make_mesh
+
+        d, _, m = mspec.partition("x")
+        mesh = make_mesh(mesh_shape=(int(d), int(m or 1)))
+        log(f"bench_zoo[{name}]: mesh {mspec}")
+    tr = Trainer(cfg, dataset=ds, logger=MetricLogger(quiet=True), mesh=mesh)
+    return tr, max(cfg.train.steps_per_dispatch, 1), cfg.data.batch_size
+
+
+def bench_model(name: str) -> dict:
+    tr, spd, B = build_trainer(name)
+    dsname = tr.cfg.data.dataset
 
     t0 = time.time()
     _ = float(np.asarray(tr.train_chunk(0, spd))[-1, 0])

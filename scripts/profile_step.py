@@ -5,7 +5,12 @@ Reuses bench.py's dataset/config, runs one traced chunk under
 jax.profiler.trace, then parses the perfetto trace (vm.trace.json.gz) and
 prints the top ops by total device time with their HLO provenance.
 
-Usage: python scripts/profile_step.py [trace_dir]
+Usage: python scripts/profile_step.py [trace_dir] [zoo_entry]
+
+``zoo_entry`` (default ``mmssl`` = the Baby-scale flagship) is any
+scripts/bench_zoo.py model name (mf/lightgcn/.../mmssl_tiktok/mmssl_sports);
+the profiled Trainer is built by bench_zoo.build_trainer so the trace
+measures exactly the benched program (incl. MMSSL_BENCH_OVERRIDES/_MESH).
 """
 
 import glob
@@ -30,19 +35,11 @@ import numpy as np
 
 def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mmssl_trace"
-    import bench
+    entry = sys.argv[2] if len(sys.argv) > 2 else "mmssl"
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bench_zoo
 
-    ds = bench.get_dataset()
-    from mmssl_tpu.train.trainer import Trainer
-    from mmssl_tpu.utils.logging import MetricLogger
-    import jax.numpy as jnp
-
-    cfg = bench.get_config()  # profile exactly the benchmarked program
-    key = jax.random.key(0)
-    for i, (m, dim) in enumerate(bench.FEAT_DIMS.items()):
-        ds.feats[m] = jax.random.normal(jax.random.fold_in(key, i), (ds.n_items, dim), jnp.float32)
-    tr = Trainer(cfg, dataset=ds, logger=MetricLogger(quiet=True))
-    spd = max(cfg.train.steps_per_dispatch, 1)
+    tr, spd, _B = bench_zoo.build_trainer(entry)
 
     t0 = time.time()
     m = tr.train_chunk(0, spd)
