@@ -47,6 +47,7 @@ def infonce(
     eps: float = 1e-8,
     row_chunk: int = 4096,
     dtype=None,
+    n_real: "int | None" = None,
 ) -> jnp.ndarray:
     """Mean InfoNCE loss between views z1 (anchor) and z2.
 
@@ -55,15 +56,28 @@ def infonce(
     stays f32.  For full-catalog calls (MICRO: N = n_items) wrap the call in
     ``jax.checkpoint`` — the default VJP stores both [N, N] exp matrices
     (2·N² f32, ~400 MB at Baby scale) while rematerializing costs two cheap
-    [N, d] GEMMs."""
+    [N, d] GEMMs.
+
+    ``n_real``: with geometry-padded rows (parallel/spmd.py), compute the
+    loss of the FIRST n_real rows exactly as the unpadded call would: pad
+    columns are masked out of every denominator (even zero pad rows would
+    contribute exp(0)=1 each) and the mean runs over n_real.  Pad-row
+    losses are replaced by a smooth 0 (their raw denominator is degenerate
+    and would emit NaN through the log); the replacement is constant so no
+    gradient flows to or through pad rows."""
     n = z1.shape[0]
+    nr = n if n_real is None else min(n_real, n)
     a = l2_normalize(z1, axis=1)
     b = l2_normalize(z2, axis=1)
+    col_real = None if nr == n else (jnp.arange(n) < nr)
     losses = []
     for s, e in _chunk_bounds(n, row_chunk):
         ra = a[s:e]  # [c, d]
         s11 = jnp.exp(matmul(ra, a.T, dtype) / tau)  # [c, N]
         s12 = jnp.exp(matmul(ra, b.T, dtype) / tau)
+        if col_real is not None:
+            s11 = s11 * col_real[None, :]
+            s12 = s12 * col_real[None, :]
         # Diagonal entries as f32 row dots, NOT a matrix gather: advanced
         # indexing into the [c, N] exp matrices lowers to flat-layout
         # gather + (in the VJP) scatter pairs that relayout the whole
@@ -72,8 +86,15 @@ def infonce(
         between_diag = jnp.exp(jnp.sum(ra * b[s:e], axis=1) / tau)
         refl_diag = jnp.exp(jnp.sum(ra * ra, axis=1) / tau)
         denom = jnp.sum(s11, axis=1) + jnp.sum(s12, axis=1) - refl_diag
-        losses.append(-jnp.log(between_diag / denom + eps))
-    return jnp.mean(jnp.concatenate(losses))
+        if col_real is not None:
+            row_real = col_real[s:e]
+            between_diag = jnp.where(row_real, between_diag, 1.0)
+            denom = jnp.where(row_real, denom, 1.0)
+            losses.append(-jnp.log(between_diag / denom + eps) * row_real)
+        else:
+            losses.append(-jnp.log(between_diag / denom + eps))
+    all_losses = jnp.concatenate(losses)
+    return jnp.mean(all_losses) if col_real is None else jnp.sum(all_losses) / nr
 
 
 def infonce_sharded(

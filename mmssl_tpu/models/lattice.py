@@ -45,12 +45,18 @@ class LatticeOutput(NamedTuple):
     item_adj: jnp.ndarray  # [n_items, n_items] carried state
 
 
-def build_original_adjs(feats: Mapping[str, jnp.ndarray], topk: int) -> Dict[str, jnp.ndarray]:
+def build_original_adjs(
+    feats: Mapping[str, jnp.ndarray], topk: int, n_real: "int | None" = None
+) -> Dict[str, jnp.ndarray]:
     """Static per-modality graphs from raw features, normalized
     (LATTICE/codes/Models.py:57-71; cached to .pt files in the reference —
-    here they are just device arrays computed once at trainer init)."""
+    here they are just device arrays computed once at trainer init).
+
+    ``n_real``: geometry-padded feats (zero pad rows) — selection restricted
+    to the real catalog so the graph matches the unpadded one on the real
+    block, with exact-zero pad rows/cols (ops/knn.mask_sim_padding)."""
     return {
-        m: compute_normalized_laplacian(build_knn_neighbourhood(build_sim(f), topk))
+        m: compute_normalized_laplacian(build_knn_neighbourhood(build_sim(f), topk, n_real))
         for m, f in feats.items()
     }
 
@@ -92,7 +98,13 @@ def apply_lattice(
     build_item_graph: bool,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    n_items_real: Optional[int] = None,
 ) -> LatticeOutput:
+    """``n_items_real``: set when the item axis is geometry-padded to mesh
+    multiples (parallel/spmd.py) — restricts the learned kNN selection to
+    the real catalog (pad rows of trs-projected feats are bias rows, NOT
+    zero, so without masking they could enter real rows' top-k) and keeps
+    the carried graph's pad rows/cols exact zeros."""
     modalities = sorted(feats)
     weight = jax.nn.softmax(params["modal_weight"], axis=0)
     dt = resolve_dtype(cfg.compute_dtype)
@@ -102,7 +114,7 @@ def apply_lattice(
         original = jnp.zeros_like(item_adj_state)
         for i, m in enumerate(modalities):
             proj = linear(params["trs"][m], feats[m], dt)
-            adj_m = build_knn_neighbourhood(build_sim(proj), cfg.knn_topk)
+            adj_m = build_knn_neighbourhood(build_sim(proj), cfg.knn_topk, n_items_real)
             learned = learned + weight[i] * adj_m
             original = original + weight[i] * original_adjs[m]
         learned = compute_normalized_laplacian(learned)

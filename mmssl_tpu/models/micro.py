@@ -53,14 +53,24 @@ class MicroOutput(NamedTuple):
     mod_adjs: Dict[str, ModalityAdj]  # carried state
 
 
-def build_original_adjs_sparse(feats: Mapping[str, jnp.ndarray], topk: int, norm_type: str) -> Dict[str, SparseGraph]:
-    """Static modality graphs from raw features (MICRO/codes/Models.py:41-48)."""
-    return {m: build_knn_sparse_graph(build_sim(f), topk, norm_type) for m, f in feats.items()}
-
-
-def build_original_adjs_dense(feats: Mapping[str, jnp.ndarray], topk: int, norm_type: str) -> Dict[str, jnp.ndarray]:
+def build_original_adjs_sparse(
+    feats: Mapping[str, jnp.ndarray], topk: int, norm_type: str,
+    n_real: "int | None" = None,
+) -> Dict[str, SparseGraph]:
+    """Static modality graphs from raw features (MICRO/codes/Models.py:41-48).
+    ``n_real``: geometry-padding selection mask (see ops/knn)."""
     return {
-        m: get_dense_laplacian(build_knn_neighbourhood(build_sim(f), topk), norm_type)
+        m: build_knn_sparse_graph(build_sim(f), topk, norm_type, n_real)
+        for m, f in feats.items()
+    }
+
+
+def build_original_adjs_dense(
+    feats: Mapping[str, jnp.ndarray], topk: int, norm_type: str,
+    n_real: "int | None" = None,
+) -> Dict[str, jnp.ndarray]:
+    return {
+        m: get_dense_laplacian(build_knn_neighbourhood(build_sim(f), topk, n_real), norm_type)
         for m, f in feats.items()
     }
 
@@ -119,7 +129,12 @@ def apply_micro(
     sparse: bool = True,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    n_items_real: Optional[int] = None,
 ) -> MicroOutput:
+    """``n_items_real``: geometry-padded item axis (parallel/spmd.py) —
+    masks the learned kNN selection to the real catalog (see
+    models/lattice.apply_lattice) so the carried graphs, and hence every
+    propagated embedding's pad rows, stay exact zeros."""
     modalities = sorted(feats)
     dt = resolve_dtype(cfg.compute_dtype)
 
@@ -129,11 +144,11 @@ def apply_micro(
             proj = linear(params["trs"][m], feats[m], dt)
             sim = build_sim(proj)
             if sparse:
-                new = build_knn_sparse_graph(sim, cfg.knn_topk, cfg.norm_type)
+                new = build_knn_sparse_graph(sim, cfg.knn_topk, cfg.norm_type, n_items_real)
                 mod_adjs[m] = _mix_sparse(new, original_adjs[m], cfg.lambda_coeff)
             else:
                 new = get_dense_laplacian(
-                    build_knn_neighbourhood(sim, cfg.knn_topk), cfg.norm_type
+                    build_knn_neighbourhood(sim, cfg.knn_topk, n_items_real), cfg.norm_type
                 )
                 mixed = (1.0 - cfg.lambda_coeff) * new + cfg.lambda_coeff * original_adjs[m].astype(jnp.float32)
                 # Stored at the compute dtype: halves the dense modality

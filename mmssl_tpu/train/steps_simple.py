@@ -59,7 +59,14 @@ def simple_train_step_impl(
     opt: optax.GradientTransformation,
     build_item_graph: bool,
     sparse: bool = True,
+    n_items_real: "int | None" = None,
 ) -> Tuple[SimpleTrainState, Dict[str, jnp.ndarray]]:
+    # n_items_real: static; set by the Trainer when the catalog tables are
+    # geometry-padded to mesh multiples (parallel/spmd.py) — the kNN builds
+    # and MICRO's full-catalog InfoNCE then mask the pad rows so numerics
+    # match the unpadded run (models/lattice, models/micro, losses/
+    # contrastive docstrings).  None = unpadded fast path, byte-identical
+    # programs to before the padding feature existed.
     t = cfg.train
     name = cfg.model.name
     rng, r_fwd = jax.random.split(state.rng)
@@ -71,7 +78,7 @@ def simple_train_step_impl(
             out = apply_lattice(
                 params, consts.joint, consts.feats, consts.original_adjs,
                 state.item_state, cfg.model, cfg.parity, build_item_graph,
-                train=True, rng=r_fwd,
+                train=True, rng=r_fwd, n_items_real=n_items_real,
             )
             u_emb, i_emb = out.user_emb, out.item_emb
             new_item_state = out.item_adj
@@ -79,7 +86,7 @@ def simple_train_step_impl(
             out = apply_micro(
                 params, consts.joint, consts.feats, consts.original_adjs,
                 state.item_state, cfg.model, cfg.parity, build_item_graph,
-                sparse=sparse, train=True, rng=r_fwd,
+                sparse=sparse, train=True, rng=r_fwd, n_items_real=n_items_real,
             )
             u_emb, i_emb = out.user_emb, out.item_emb
             new_item_state = out.mod_adjs
@@ -91,7 +98,8 @@ def simple_train_step_impl(
             # GEMMs instead.  dtype: bf16 GEMM inputs under compute_dtype.
             cdt = resolve_dtype(cfg.model.compute_dtype)
             nce = jax.checkpoint(
-                lambda x, y: infonce(x, y, t.cl_tau, eps=0.0, dtype=cdt)
+                lambda x, y: infonce(x, y, t.cl_tau, eps=0.0, dtype=cdt,
+                                     n_real=n_items_real)
             )
             for m in sorted(consts.feats):
                 cl = cl + nce(out.mm_item_embeds[m], out.fusion)
@@ -130,7 +138,7 @@ def simple_train_step_impl(
 
 simple_train_step = partial(
     jax.jit,
-    static_argnames=("cfg", "opt", "build_item_graph", "sparse"),
+    static_argnames=("cfg", "opt", "build_item_graph", "sparse", "n_items_real"),
     donate_argnums=(0,),
 )(simple_train_step_impl)
 
@@ -144,6 +152,7 @@ def simple_train_epoch_impl(
     cfg: ExperimentConfig,
     opt: optax.GradientTransformation,
     sparse: bool = True,
+    n_items_real: "int | None" = None,
 ) -> Tuple[SimpleTrainState, jnp.ndarray]:
     """``n_steps`` non-building train steps as ONE device program.
 
@@ -161,7 +170,7 @@ def simple_train_epoch_impl(
         users, pos, neg = device_sample(r_samp, sampler, n_items, cfg.data.batch_size)
         new_state, metrics = simple_train_step_impl(
             carry, consts, users, pos, neg, cfg, opt,
-            build_item_graph=False, sparse=sparse,
+            build_item_graph=False, sparse=sparse, n_items_real=n_items_real,
         )
         return new_state, metrics
 
@@ -171,6 +180,6 @@ def simple_train_epoch_impl(
 
 simple_train_epoch = partial(
     jax.jit,
-    static_argnames=("n_steps", "n_items", "cfg", "opt", "sparse"),
+    static_argnames=("n_steps", "n_items", "cfg", "opt", "sparse", "n_items_real"),
     donate_argnums=(0,),
 )(simple_train_epoch_impl)

@@ -185,6 +185,9 @@ class Trainer:
         cfg, ds = self.cfg, self.ds
         name = cfg.model.name
         self.is_mmssl = name == "mmssl"
+        # Simple-path geometry padding marker (set by _build_simple; the
+        # MMSSL path threads its padding through n_items_real call args).
+        self._n_items_real = None
         if self.is_mmssl:
             self._build_mmssl()
         else:
@@ -347,6 +350,31 @@ class Trainer:
             _, norm_adj, _ = get_adj_mat(ds_dir, ds.R, ds.n_users, ds.n_items)
         else:
             _, norm_adj, _ = joint_adj(ds.R, ds.n_users, ds.n_items)
+        # Geometry padding, mirroring _build_mmssl: on a model-axis mesh the
+        # catalog tables pad to mesh-multiple row counts so they genuinely
+        # shard.  The joint adjacency's item block shifts by pu (the joint
+        # node order is [users | items] and the models split the concat at
+        # user_emb.shape[0] = n_users_pad); pad rows/cols have no entries,
+        # so propagation outputs for pad rows are exact zeros (COO) or the
+        # zero-scaled passthrough (dense blocks) and real rows never read a
+        # pad value.  kNN builds and MICRO's full-catalog InfoNCE mask the
+        # pad rows via n_items_real (steps_simple), keeping training
+        # numerics equal to the unpadded run given the same PRNG draws
+        # (tests/test_sharding.py::test_simple_padded_tables_*).
+        model_p = self.mesh.shape["model"] if self.mesh is not None else 1
+        pad_to = lambda n: ((n + model_p - 1) // model_p) * model_p
+        self.n_users_pad = pad_to(ds.n_users)
+        self.n_items_pad = pad_to(ds.n_items)
+        pu, pi = self.n_users_pad - ds.n_users, self.n_items_pad - ds.n_items
+        self._n_items_real = ds.n_items if pi else None
+        if pu or pi:
+            import scipy.sparse as sp
+
+            coo = sp.coo_matrix(norm_adj)
+            rows = np.where(coo.row >= ds.n_users, coo.row + pu, coo.row)
+            cols = np.where(coo.col >= ds.n_users, coo.col + pu, coo.col)
+            n_pad = self.n_users_pad + self.n_items_pad
+            norm_adj = sp.csr_matrix((coo.data, (rows, cols)), shape=(n_pad, n_pad))
         joint = SparseGraph.from_scipy(norm_adj)
         if cfg.model.graph_impl == "dense":
             # Dense mode keeps the joint adjacency in its bipartite blocks:
@@ -358,24 +386,35 @@ class Trainer:
             from mmssl_tpu.ops.sparse import joint_bipartite_from_norm_adj
 
             gdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8}[cfg.model.graph_dtype]
-            joint = joint_bipartite_from_norm_adj(norm_adj, ds.n_users, ds.n_items, gdtype)
+            joint = joint_bipartite_from_norm_adj(
+                norm_adj, self.n_users_pad, self.n_items_pad, gdtype
+            )
         self.sparse_mode = cfg.model.micro_sparse if name == "micro" else True
         cdt = resolve_dtype(cfg.model.compute_dtype)
+        # Feats padded to the item multiple (zero rows; the kNN builders mask
+        # them out of every selection via n_real).
+        feats_p = self.feats
+        if pi:
+            feats_p = {m: jnp.pad(f, ((0, pi), (0, 0))) for m, f in feats_p.items()}
         original_adjs: Dict[str, Any] = {}
         item_state: Any = ()
         key = self._split_rng()
         if name == "lattice":
             params = init_lattice(key, ds.n_users, ds.n_items, self.feat_dims, cfg.model)
-            original_adjs = build_original_adjs(self.feats, cfg.model.knn_topk)
+            original_adjs = build_original_adjs(
+                feats_p, cfg.model.knn_topk, self._n_items_real
+            )
             # Carried graph stored at the compute dtype (models/lattice:
             # halves the hot n_items^2 propagation's HBM bytes under bf16).
-            item_state = jnp.zeros((ds.n_items, ds.n_items), cdt or jnp.float32)
+            item_state = jnp.zeros((self.n_items_pad, self.n_items_pad), cdt or jnp.float32)
         elif name == "micro":
             from mmssl_tpu.models.micro import _mix_sparse
 
             params = init_micro(key, ds.n_users, ds.n_items, self.feat_dims, cfg.model)
             if self.sparse_mode:
-                original_adjs = build_original_adjs_sparse(self.feats, cfg.model.knn_topk, cfg.model.norm_type)
+                original_adjs = build_original_adjs_sparse(
+                    feats_p, cfg.model.knn_topk, cfg.model.norm_type, self._n_items_real
+                )
                 # Initial carried state with the same pytree structure (and
                 # capacity 2*n*k) as every post-rebuild state, so checkpoints
                 # restore into a fresh trainer and jit traces once; numerically
@@ -387,7 +426,7 @@ class Trainer:
                 # MICRO --sparse 0: dense laplacians; the item-item
                 # propagation rides the MXU instead of per-entry scatters.
                 original_adjs = build_original_adjs_dense(
-                    self.feats, cfg.model.knn_topk, cfg.model.norm_type
+                    feats_p, cfg.model.knn_topk, cfg.model.norm_type, self._n_items_real
                 )
                 lam = cfg.model.lambda_coeff
                 # Same storage dtype as every post-rebuild state (models/
@@ -404,7 +443,14 @@ class Trainer:
             params = init_mf(key, ds.n_users, ds.n_items, cfg.model)
         else:
             raise ValueError(f"unknown model {name}")
-        self.consts = SimpleConsts(feats=self.feats, joint=joint, original_adjs=original_adjs)
+        # Init at the REAL dims (identical RNG draws to an unpadded run),
+        # then zero-pad table rows to the mesh multiples; zero gradients
+        # keep pad rows zero under the optimizer (see _build_mmssl).
+        if pu:
+            params["user_emb"] = jnp.pad(params["user_emb"], ((0, pu), (0, 0)))
+        if pi:
+            params["item_emb"] = jnp.pad(params["item_emb"], ((0, pi), (0, 0)))
+        self.consts = SimpleConsts(feats=feats_p, joint=joint, original_adjs=original_adjs)
         self.opt = make_simple_optimizer(
             cfg.train.lr, self.n_batch, cfg.train.lr_decay_base, cfg.train.lr_decay_interval
         )
@@ -424,12 +470,14 @@ class Trainer:
             )
 
             step_build, step_nobuild, self.state, self.consts = make_sharded_simple_step(
-                self.mesh, cfg, self.opt, self.state, self.consts, sparse=self.sparse_mode
+                self.mesh, cfg, self.opt, self.state, self.consts,
+                sparse=self.sparse_mode, n_items_real=self._n_items_real,
             )
             self._sharded_simple = {True: step_build, False: step_nobuild}
             self._sharded_simple_epoch, self.sampler_consts = make_sharded_simple_epoch(
                 self.mesh, cfg, self.opt, self.state, self.consts,
                 self.sampler_consts, ds.n_items, sparse=self.sparse_mode,
+                n_items_real=self._n_items_real,
             )
 
     # ------------------------------------------------------------------
@@ -479,6 +527,7 @@ class Trainer:
                 self.state, metrics = simple_train_step(
                     self.state, self.consts, users, pos, neg, self.cfg, self.opt,
                     build_item_graph=build, sparse=self.sparse_mode,
+                    n_items_real=self._n_items_real,
                 )
         return metrics
 
@@ -513,6 +562,7 @@ class Trainer:
             self.state, metrics = simple_train_epoch(
                 self.state, self.consts, self.sampler_consts,
                 n_steps, self.ds.n_items, self.cfg, self.opt, sparse=self.sparse_mode,
+                n_items_real=self._n_items_real,
             )
         return metrics
 
@@ -538,22 +588,23 @@ class Trainer:
                 self.state.params, self.consts.joint, self.consts.feats,
                 self.consts.original_adjs, self.state.item_state,
                 cfg.model, cfg.parity, build_item_graph=True, train=False,
+                n_items_real=self._n_items_real,
             )
-            return out.user_emb, out.item_emb
-        if name == "micro":
+        elif name == "micro":
             out = apply_micro(
                 self.state.params, self.consts.joint, self.consts.feats,
                 self.consts.original_adjs, self.state.item_state,
-                cfg.model, cfg.parity, build_item_graph=True, sparse=self.sparse_mode, train=False,
+                cfg.model, cfg.parity, build_item_graph=True, sparse=self.sparse_mode,
+                train=False, n_items_real=self._n_items_real,
             )
-            return out.user_emb, out.item_emb
-        if name == "lightgcn":
-            res = apply_lightgcn(self.state.params, self.consts.joint, cfg.model)
+        elif name == "lightgcn":
+            out = apply_lightgcn(self.state.params, self.consts.joint, cfg.model)
         elif name == "ngcf":
-            res = apply_ngcf(self.state.params, self.consts.joint, cfg.model, train=False)
+            out = apply_ngcf(self.state.params, self.consts.joint, cfg.model, train=False)
         else:
-            res = apply_mf(self.state.params)
-        return res.user_emb, res.item_emb
+            out = apply_mf(self.state.params)
+        # Slice off geometry-padding rows (no-op when unpadded).
+        return out.user_emb[: self.ds.n_users], out.item_emb[: self.ds.n_items]
 
     def evaluate(self, which: str = "val") -> Dict[str, np.ndarray]:
         u_emb, i_emb = self.eval_embeddings()
