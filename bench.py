@@ -133,6 +133,13 @@ def main() -> None:
     log(f"bench: {steps} steps ({n_chunks} fused chunks) in {dt:.2f}s -> "
         f"{step_time*1000:.1f} ms/step, loss={loss:.4f}")
 
+    # FLOP/step from XLA's own cost analysis of the benchmarked program
+    # (utils/flops.py), so achieved TFLOP/s and MFU are auditable from this
+    # JSON line (VERDICT r2 Missing #4).
+    from mmssl_tpu.utils.flops import mfu_fields, train_step_flops
+
+    flops = train_step_flops(tr)
+
     print(json.dumps({
         "metric": "train_examples_per_sec",
         "value": round(throughput, 1),
@@ -143,6 +150,11 @@ def main() -> None:
         # GPU (module docstring).  The honest headline is ms_per_step.
         "ms_per_step": round(step_time * 1000, 2),
         "baseline_is_estimate": True,
+        **mfu_fields(flops, step_time),
+        # This container exposes ONE physical chip: every multi-chip claim is
+        # validated functionally (8-virtual-device CPU mesh + the driver's
+        # dryrun_multichip), never measured on real ICI.
+        "multichip": "dryrun-only",
     }))
 
 

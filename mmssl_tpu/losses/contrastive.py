@@ -118,7 +118,7 @@ def infonce_sharded(
     emits the same all-gather/psum schedule from the (data, model) operand
     shardings, and hand-placing the collectives measured no win over letting
     the partitioner fuse them with the surrounding step (docs/performance.md,
-    "collective choices vs the survey's ring sketch").  Keep it as the
+    "Multi-chip scaling" — the ring-vs-all_gather argument).  Keep it as the
     executable spec for the pattern; route through it only if a future
     profile shows the partitioner mis-scheduling these collectives.
     """

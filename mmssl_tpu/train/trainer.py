@@ -169,7 +169,26 @@ class Trainer:
         """Restore the latest (or given) checkpoint into this trainer.
         Returns the extra metadata dict saved alongside."""
         assert self.ckpt is not None, "no checkpoint_dir configured"
-        self.state, extra = self.ckpt.restore(self.state, step)
+        try:
+            self.state, extra = self.ckpt.restore(self.state, step)
+        except Exception as e:
+            # Catalog tables are saved at mesh-dependent GEOMETRY-PADDED row
+            # counts (user/item tables pad to model-axis multiples, see
+            # _build_mmssl/_build_simple), so a checkpoint written under one
+            # mesh cannot restore into a trainer with a different mesh or no
+            # mesh — orbax surfaces that as a raw shape mismatch.  Name the
+            # likely cause instead of leaking the opaque error (ADVICE r2).
+            if "shape" in str(e).lower():
+                raise RuntimeError(
+                    f"checkpoint restore hit a shape mismatch. This trainer pads "
+                    f"catalog tables to mesh multiples (n_users {self.ds.n_users} -> "
+                    f"{self.n_users_pad}, n_items {self.ds.n_items} -> {self.n_items_pad}; "
+                    f"mesh={'none' if self.mesh is None else dict(self.mesh.shape)}); a "
+                    "checkpoint saved under a different mesh geometry (or without a mesh) "
+                    "stores differently padded tables. Rebuild the trainer with the mesh "
+                    "the checkpoint was written under, then restore."
+                ) from e
+            raise
         if self.is_mmssl:
             # Re-derive the host-side mirror of the monotone use_init flag so
             # the post-rebuild static program specialization survives resume.
@@ -361,6 +380,12 @@ class Trainer:
         # pad rows via n_items_real (steps_simple), keeping training
         # numerics equal to the unpadded run given the same PRNG draws
         # (tests/test_sharding.py::test_simple_padded_tables_*).
+        # KNOWN LIMIT (ADVICE r2): dropout masks over the concatenated
+        # [n_pad, d] node axis (NGCF mess_dropout) are drawn at the PADDED
+        # shape, so their PRNG stream differs from an unpadded run — padded
+        # vs unpadded trajectory EQUALITY holds at dropout rate 0 (what the
+        # parity tests pin); at nonzero rates the runs are equal in
+        # distribution but not bit-identical.
         model_p = self.mesh.shape["model"] if self.mesh is not None else 1
         pad_to = lambda n: ((n + model_p - 1) // model_p) * model_p
         self.n_users_pad = pad_to(ds.n_users)

@@ -146,10 +146,15 @@ def bench_model(name: str) -> dict:
     dt = time.time() - t0
     ms = dt / steps * 1e3
     log(f"bench_zoo[{name}]: {steps} steps in {dt:.2f}s -> {ms:.1f} ms/step")
+    from mmssl_tpu.utils.flops import mfu_fields, train_step_flops
+
+    flops = train_step_flops(tr)
     return {
         "model": name, "dataset": dsname, "metric": "train_examples_per_sec",
         "value": round(steps * B / dt, 1), "unit": "examples/s",
         "ms_per_step": round(ms, 2),
+        **mfu_fields(flops, dt / steps),
+        "multichip": "dryrun-only",
     }
 
 

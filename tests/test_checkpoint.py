@@ -122,6 +122,31 @@ def test_checkpoint_roundtrip_under_mesh(tiny_dataset, tmp_path):
     assert np.isfinite(m3).all()
 
 
+def test_mesh_geometry_mismatch_is_actionable(tiny_dataset, tmp_path):
+    """Catalog tables are checkpointed at mesh-dependent geometry-padded
+    shapes; restoring into a trainer with a different mesh (or none) must
+    raise an error naming the padding/mesh cause, not a raw orbax shape
+    mismatch (ADVICE r2)."""
+    import pytest
+
+    from mmssl_tpu.parallel.mesh import make_mesh
+
+    cfg = preset("tiny", "mf", **{
+        "data.batch_size": 16,
+        "model.embed_size": 16,
+        "train.checkpoint_dir": str(tmp_path / "ckpt_geom"),
+    })
+    mesh = make_mesh(8, mesh_shape=(2, 4))  # 50 users / 30 items pad to 52/32
+    tr = Trainer(cfg, dataset=tiny_dataset, logger=MetricLogger(quiet=True), mesh=mesh)
+    assert tr.n_users_pad != tiny_dataset.n_users  # padding actually engaged
+    tr.train_batch(0)
+    tr.save_checkpoint(1, {"epoch": 0})
+
+    tr2 = Trainer(cfg, dataset=tiny_dataset, logger=MetricLogger(quiet=True))
+    with pytest.raises(RuntimeError, match="mesh"):
+        tr2.resume()
+
+
 def test_prng_impl_mismatch_is_actionable():
     """Restoring key data written under one train.prng_impl into a template
     of another raises a clear error naming the impl, not a shape error deep
