@@ -109,28 +109,15 @@ def _eval_all_batches(
     return totals
 
 
-@partial(jax.jit, static_argnames=("ks",))
-def _metrics_from_ids(
-    top_ids: jnp.ndarray,  # int32 [B, k_max] ranked ids
-    users: jnp.ndarray,
-    valid: jnp.ndarray,
-    pos_pad: jnp.ndarray,
-    pos_cnt: jnp.ndarray,
-    ks: tuple[int, ...],
-) -> Dict[str, jnp.ndarray]:
-    per_user = batch_metrics_from_topk(top_ids, pos_pad[users], pos_cnt[users], ks)
-    out = {name: jnp.sum(v * valid[:, None], axis=0) for name, v in per_user.items()}
-    out["auc"] = jnp.zeros(())
-    return out
-
-
 class Evaluator:
     """Holds device-resident protocol state (pads, counts) for a dataset.
 
-    Pass a mesh to run catalog-sharded scoring + distributed top-k
-    (parallel/eval_sharded.py) in 'part' test mode; odd catalogs are
-    zero-padded to a mesh multiple on device with pad items masked to -inf.
-    'full' AUC mode needs the whole score row and uses the dense path."""
+    Pass a mesh to run catalog-sharded scoring + distributed top-k (+ the
+    per-shard 'full'-mode AUC decomposition) as one scanned device program
+    (parallel/eval_sharded.make_sharded_eval); odd catalogs are zero-padded
+    to a mesh multiple on device with pad items masked to -inf.  Both
+    reference test modes ('part' and 'full', batch_test.py:53-68) ride the
+    mesh."""
 
     def __init__(self, dataset: RecDataset, cfg: EvalConfig, mesh=None):
         self.cfg = cfg
@@ -148,20 +135,25 @@ class Evaluator:
             )
         self.mesh = mesh
         self._batched: Dict = {}
-        self._sharded_topk = None
+        self._sharded_eval = None
         self.n_items_pad = dataset.n_items
-        if mesh is not None and cfg.test_flag != "full":
+        if mesh is not None:
             model_p = mesh.shape.get("model", 1)
             if model_p > 1:
-                from mmssl_tpu.parallel.eval_sharded import make_sharded_topk
+                from mmssl_tpu.parallel.eval_sharded import (
+                    METRIC_NAMES as _SHARDED_NAMES,
+                    make_sharded_eval,
+                )
 
+                assert _SHARDED_NAMES == METRIC_NAMES  # shared packed order
                 # Odd catalogs shard too: pad the item axis to a mesh
                 # multiple with zero rows (done on device in evaluate());
                 # pad items are masked to -inf inside the kernel.
                 self.n_items_pad = -(-dataset.n_items // model_p) * model_p
                 real = dataset.n_items if self.n_items_pad != dataset.n_items else None
-                self._sharded_topk = make_sharded_topk(
-                    mesh, min(max(self.ks), dataset.n_items), n_items_real=real
+                self._sharded_eval = make_sharded_eval(
+                    mesh, self.ks, dataset.n_items, n_items_real=real,
+                    full_auc=cfg.test_flag == "full",
                 )
 
     def evaluate(self, u_emb: jnp.ndarray, i_emb: jnp.ndarray, which: str = "val") -> Dict[str, np.ndarray]:
@@ -169,48 +161,34 @@ class Evaluator:
         'hit_ratio': ..., 'auc': scalar} averaged over the split's users."""
         pos_pad, pos_cnt, users = self._splits[which]
         n_users = len(users)
-        bs = self.cfg.user_batch_size
         full_auc = self.cfg.test_flag == "full"
-        sharded = self._sharded_topk is not None
-        if not sharded:
-            # Fused path: the whole split as one scanned device program with
-            # one packed fetch (see _eval_all_batches).
-            users_mat, valid_mat = self._batched_split(which)
-            packed = np.asarray(
-                _eval_all_batches(
-                    u_emb, i_emb, users_mat, valid_mat,
-                    self.train_pad, pos_pad, pos_cnt, self.ks, full_auc,
-                )
-            ) / max(n_users, 1)
-            nk = len(self.ks)
-            out = {
-                name: packed[i * nk : (i + 1) * nk]
-                for i, name in enumerate(METRIC_NAMES)
-            }
-            out["auc"] = packed[4 * nk]
-            return out
-
-        from mmssl_tpu.parallel.eval_sharded import shard_items
-
-        if i_emb.shape[0] < self.n_items_pad:
-            i_emb = jnp.pad(i_emb, ((0, self.n_items_pad - i_emb.shape[0]), (0, 0)))
-        i_emb_sharded = shard_items(self.mesh, i_emb)
-        totals: Dict[str, jnp.ndarray] = {}
-        for start in range(0, max(n_users, 1), bs):
-            batch = users[start : start + bs]
-            pad_len = bs - len(batch)
-            valid = np.ones(len(batch), dtype=np.float32)
-            if pad_len > 0:
-                batch = np.concatenate([batch, np.zeros(pad_len, dtype=np.int32)])
-                valid = np.concatenate([valid, np.zeros(pad_len, dtype=np.float32)])
-            batch_j, valid_j = jnp.asarray(batch), jnp.asarray(valid)
-            _, top_ids = self._sharded_topk(
-                u_emb[batch_j], i_emb_sharded, self.train_pad[batch_j]
+        users_mat, valid_mat = self._batched_split(which)
+        if self._sharded_eval is None:
+            # Fused dense path: the whole split as one scanned device program
+            # with one packed fetch (see _eval_all_batches).
+            packed = _eval_all_batches(
+                u_emb, i_emb, users_mat, valid_mat,
+                self.train_pad, pos_pad, pos_cnt, self.ks, full_auc,
             )
-            part = _metrics_from_ids(top_ids, batch_j, valid_j, pos_pad, pos_cnt, self.ks)
-            for name, v in part.items():
-                totals[name] = totals.get(name, 0) + v
-        return {name: np.asarray(v) / max(n_users, 1) for name, v in totals.items()}
+        else:
+            # Fused sharded path: same scan shape, scoring/top-k/AUC inside a
+            # shard_map over the catalog axis — one dispatch + one fetch too.
+            from mmssl_tpu.parallel.eval_sharded import shard_items
+
+            if i_emb.shape[0] < self.n_items_pad:
+                i_emb = jnp.pad(i_emb, ((0, self.n_items_pad - i_emb.shape[0]), (0, 0)))
+            i_emb_sharded = shard_items(self.mesh, i_emb)
+            packed = self._sharded_eval(
+                u_emb, i_emb_sharded, users_mat, valid_mat,
+                self.train_pad, pos_pad, pos_cnt,
+            )
+        packed = np.asarray(packed) / max(n_users, 1)
+        nk = len(self.ks)
+        out = {
+            name: packed[i * nk : (i + 1) * nk] for i, name in enumerate(METRIC_NAMES)
+        }
+        out["auc"] = packed[4 * nk]
+        return out
 
     def _batched_split(self, which: str):
         """Padded [n_batches, user_batch_size] user/valid matrices for the

@@ -63,7 +63,7 @@ def test_mesh_trainer_uses_sharded_eval(tiny_dataset):
         "eval.ks": (3, 5, 10),
     })
     tr = Trainer(cfg, dataset=tiny_dataset, logger=MetricLogger(quiet=True), mesh=mesh)
-    assert tr.evaluator._sharded_topk is not None  # 30 items % 2 == 0
+    assert tr.evaluator._sharded_eval is not None  # 30 items % 2 == 0
     tr.train_batch(0)
     u_emb, i_emb = tr.eval_embeddings()
     sharded = tr.evaluator.evaluate(u_emb, i_emb, "val")
