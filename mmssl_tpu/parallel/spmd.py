@@ -98,9 +98,38 @@ def tree_shardings(mesh: Mesh, tree: Any) -> Any:
     )
 
 
+def global_device_put(tree: Any, shardings: Any) -> Any:
+    """device_put that also works when the mesh spans multiple PROCESSES.
+
+    Single-process: plain jax.device_put.  Multi-process: a NamedSharding
+    over all hosts' devices is not addressable from any one process, so
+    host-resident leaves are globalized with ``jax.make_array_from_callback``
+    — every process holds the identical host value by construction (params,
+    consts, and sampler tables are seed-/dataset-derived, never
+    process-dependent), so each process materializes exactly its addressable
+    shards.  Typed PRNG keys are unwrapped to key data and re-wrapped (the
+    raw-data path mirrors train/checkpoint.py).  Leaves that are already
+    global jax.Arrays reshard via device_put (supported cross-process)."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(leaf: Any, sh: NamedSharding) -> Any:
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            return jax.device_put(leaf, sh)
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+            data = np.asarray(jax.random.key_data(leaf))
+            impl = jax.random.key_impl(leaf)
+            garr = jax.make_array_from_callback(data.shape, sh, lambda idx: data[idx])
+            return jax.random.wrap_key_data(garr, impl=impl)
+        host = np.asarray(leaf)
+        return jax.make_array_from_callback(host.shape, sh, lambda idx: host[idx])
+
+    return jax.tree.map(put, tree, shardings)
+
+
 def shard_tree(mesh: Mesh, tree: Any) -> Any:
     """device_put a pytree according to the sharding policy."""
-    return jax.device_put(tree, tree_shardings(mesh, tree))
+    return global_device_put(tree, tree_shardings(mesh, tree))
 
 
 def make_sharded_mmssl_step(
@@ -142,7 +171,7 @@ def make_sharded_mmssl_step(
         out_shardings=(state_sh, metrics_sh),
         donate_argnums=(0,),
     )
-    return step, jax.device_put(state, state_sh), jax.device_put(consts, consts_sh)
+    return step, global_device_put(state, state_sh), global_device_put(consts, consts_sh)
 
 
 def make_sharded_mmssl_epoch(
@@ -186,7 +215,7 @@ def make_sharded_mmssl_epoch(
         out_shardings=(state_sh, scalar_sh),
         donate_argnums=(0,),
     )
-    return epoch, jax.device_put(sampler_consts, sampler_sh)
+    return epoch, global_device_put(sampler_consts, sampler_sh)
 
 
 def make_sharded_simple_step(
@@ -229,7 +258,7 @@ def make_sharded_simple_step(
 
     return (
         make(True), make(False),
-        jax.device_put(state, state_sh), jax.device_put(consts, consts_sh),
+        global_device_put(state, state_sh), global_device_put(consts, consts_sh),
     )
 
 
@@ -267,7 +296,7 @@ def make_sharded_simple_epoch(
         out_shardings=(state_sh, metrics_sh),
         donate_argnums=(0,),
     )
-    return epoch, jax.device_put(sampler_consts, sampler_sh)
+    return epoch, global_device_put(sampler_consts, sampler_sh)
 
 
 def sharded_eval_scores(mesh: Mesh):
