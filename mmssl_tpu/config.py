@@ -48,6 +48,21 @@ class ParityConfig:
     # Q11 (main.py:503-504): BPR L2 regularizer divides by batch_size (not 2B)
     # and covers only the gathered rows.
     bpr_reg_batch_div: bool = True
+    # Q15 (main.py:401,404): the densification accumulation builds its user
+    # column as ``torch.tensor(users).repeat(1, k).view(-1)`` — which TILES
+    # the whole users vector k times ([u0..uB-1, u0..uB-1, ...]) — while the
+    # top-k item ids flatten row-major ([topk(u0), topk(u1), ...]), so entry
+    # j pairs users[j % B] with topk[j // k]: a SCRAMBLED user->item
+    # assignment.  Found by the deterministic trainer-equivalence test (the
+    # first post-rebuild step diverged ~8%); load-bearing for the published
+    # numbers.  False = the evidently intended aligned repeat.
+    densify_tiled_users: bool = True
+    # Parity-testing instrument (not a reference quirk): fix the WGAN-GP
+    # interpolation draw alpha (main.py:147) to a constant so a reference run
+    # with the same fixed alpha becomes deterministic across frameworks —
+    # used by the trainer-equivalence test to compare full training
+    # trajectories to fp tolerance.  None = the reference's uniform draw.
+    gp_alpha_override: "float | None" = None
 
 
 @dataclass(frozen=True)

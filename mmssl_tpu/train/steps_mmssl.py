@@ -93,16 +93,25 @@ def densify_topk(cfg: ExperimentConfig, n_items: int) -> int:
     return int(n_items * cfg.train.m_topk_rate)
 
 
-def graph_capacity(cfg: ExperimentConfig, n_items: int) -> int:
-    """Capacity of the densified-graph COO buffers: the most entries a
-    rebuild can see is T batches of B users x k items (main.py:399-405).
+def graph_capacity(cfg: ExperimentConfig, n_items: int, n_batch: int = 1) -> int:
+    """Capacity of the densified-graph COO buffers.
+
+    The reference's accumulation lists (``image_ui_index`` etc.) are reset
+    ONLY inside a rebuild (main.py:396-397), never at epoch boundaries, so
+    entries accumulated after an epoch's LAST rebuild leak into the next
+    epoch: the first rebuild of epoch e >= 1 (at idx == T) sees the tail's
+    ``(n_batch - 1) % T`` batches plus the T batches idx 0..T-1 — the true
+    worst case is ``(T + (n_batch - 1) % T) * B * k`` entries, not T * B * k
+    (found by the deterministic trainer-equivalence test; the old capacity
+    silently clamp-overwrote the leaked tail).
+
     The initial modality graphs (= ui/iu, MMSSL/main.py:68-69) are NOT
     stored at this capacity — the step reads consts.ui/iu until the first
     rebuild (state.use_init), so the buffers stay at their true post-rebuild
     size instead of the interaction nnz."""
     k = densify_topk(cfg, n_items)
     t = max(cfg.train.densify_period, 1)
-    cap = max(t * cfg.data.batch_size * k, 1)
+    cap = max((t + (max(n_batch, 1) - 1) % t) * cfg.data.batch_size * k, 1)
     return ((cap + 127) // 128) * 128
 
 
@@ -244,7 +253,13 @@ def gradient_penalty(
     pulled to 1, LAMBDA=gp_lambda.  jax.grad-of-grad gives the second-order
     term the reference gets from autograd.grad(create_graph=True)."""
     r_alpha, r_drop = jax.random.split(rng)
-    alpha = jax.random.uniform(r_alpha, (xr.shape[0], 1), dtype=jnp.float32)
+    if cfg.parity.gp_alpha_override is not None:
+        # Parity-testing instrument (ParityConfig.gp_alpha_override): a fixed
+        # interpolation coefficient makes the trajectory deterministic for
+        # cross-framework trainer-equivalence comparison.
+        alpha = jnp.full((xr.shape[0], 1), cfg.parity.gp_alpha_override, jnp.float32)
+    else:
+        alpha = jax.random.uniform(r_alpha, (xr.shape[0], 1), dtype=jnp.float32)
     # keep the interpolates at the storage dtype of xr/xf (f32 math would
     # re-materialize the widest activation of the step at double width)
     interp = (alpha * xr + (1.0 - alpha) * xf).astype(xr.dtype)
@@ -305,7 +320,14 @@ def _accumulate_or_rebuild(
                         jnp.arange(ni_pad) < n_items, sims, jnp.finfo(sims.dtype).min
                     )
                 _, top_ids = jax.lax.top_k(sims, k)  # [B, k]
-                add_rows = jnp.repeat(users.astype(jnp.int32), k)
+                if cfg.parity.densify_tiled_users:
+                    # Quirk Q15 (main.py:401): the reference TILES the users
+                    # vector k times against the row-major-flattened top-k
+                    # ids, scrambling the user->item pairing.  Reproduced
+                    # exactly (load-bearing for the published numbers).
+                    add_rows = jnp.tile(users.astype(jnp.int32), k)
+                else:
+                    add_rows = jnp.repeat(users.astype(jnp.int32), k)
                 add_cols = top_ids.reshape(-1).astype(jnp.int32)
                 nr = jax.lax.dynamic_update_slice(rows, add_rows, (cnt,))
                 nc = jax.lax.dynamic_update_slice(cols, add_cols, (cnt,))

@@ -241,7 +241,7 @@ class Trainer:
             )
         ui_norm = csr_norm(R, mean_flag=True)  # MMSSL/main.py:66-67
         iu_norm = csr_norm(R.T, mean_flag=True)
-        cap = graph_capacity(cfg, ds.n_items)
+        cap = graph_capacity(cfg, ds.n_items, self.n_batch)
         train_pad, _ = ds.padded_split("train")
         if pu:
             train_pad = np.pad(train_pad, ((0, pu), (0, 0)), constant_values=-1)
