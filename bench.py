@@ -29,6 +29,12 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cach
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Keep a CPU backend available alongside the TPU: the axon relay returns no
+# HLO cost analysis, so the MFU fields lower the step on CPU (utils/flops —
+# FLOP counts are backend-independent).  Must run before backend init.
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat:
+    jax.config.update("jax_platforms", _plat + ",cpu")
 
 import jax.numpy as jnp
 import numpy as np

@@ -169,6 +169,14 @@ class ModelConfig:
     # (requires no duplicate per-user train items — the correction subtracts
     # once per entry while the interaction mask is idempotent).
     disc_lowrank: str = "auto"  # auto (= off) | on | off
+    # Batch the D step's fake + real towers through ONE first-layer GEMM
+    # ([(M+1)B, n_items] x [n_items, n_items/4] forward and one dW1 cotangent
+    # GEMM instead of two of each); BatchNorm statistics are computed after
+    # the split, so numerics equal the separate towers (equality-tested).
+    # Measured NEGATIVE at Amazon-Sports scale (54.4 vs 53.6 ms/step): the
+    # separate l1 GEMMs already run at MXU peak and the concat materializes
+    # an extra [(M+1)B, n_items] copy — docs/performance.md, round-3 pass.
+    disc_fused_l1: bool = False
     # Activation storage dtype INSIDE the WGAN-GP tower (models/mmssl.
     # discriminator_tower act_dtype).  Cotangent dtypes follow primal dtypes
     # under autodiff, so "bfloat16" makes the GP tower's backward and

@@ -42,7 +42,7 @@ from mmssl_tpu.config import ExperimentConfig
 from mmssl_tpu.losses.bpr import bpr_loss
 from mmssl_tpu.losses.contrastive import infonce
 from mmssl_tpu.losses.reg import feat_reg_loss
-from mmssl_tpu.models.common import l2_normalize, matmul, resolve_dtype
+from mmssl_tpu.models.common import l2_normalize, linear, matmul, resolve_dtype
 from mmssl_tpu.models.mmssl import (
     BipartiteGraphs,
     apply_discriminator,
@@ -415,6 +415,8 @@ def mmssl_train_step_impl(
     )
     inputr = jnp.concatenate([real] * len(modalities), axis=0)
 
+    fused_l1 = cfg.model.disc_fused_l1 and not lowrank
+
     def d_loss_fn(d_params):
         # mp_bwd: this tower is only differentiated once (w.r.t. d_params);
         # the GP tower below keeps the default backward (grad-of-grad).
@@ -424,6 +426,25 @@ def mmssl_train_step_impl(
             )
             predf = discriminator_tower(
                 d_params, z1, cfg.model, cfg.parity, train=True, rng=r_df, mp_bwd=True
+            )
+        elif fused_l1:
+            # One l1 GEMM for the fake AND real towers: the
+            # [(M+1)B, n_items] x [n_items, n_items/4] forward and its single
+            # dW1 cotangent GEMM replace two of each (the l1 family is the
+            # binding cost at Sports scale).  BatchNorm stats are computed
+            # per tower AFTER the split and each tower keeps its own dropout
+            # key, so numerics equal the separate-tower path exactly (up to
+            # GEMM-tiling accumulation order).
+            z1_all = linear(
+                d_params["l1"], jnp.concatenate([inputf, real], axis=0), cdt, mp_bwd=True
+            )
+            predf = discriminator_tower(
+                d_params, z1_all[: inputf.shape[0]], cfg.model, cfg.parity,
+                train=True, rng=r_df, mp_bwd=True,
+            )
+            predr = discriminator_tower(
+                d_params, z1_all[inputf.shape[0]:], cfg.model, cfg.parity,
+                train=True, rng=r_dr, mp_bwd=True,
             )
         else:
             predf = apply_discriminator(
@@ -437,9 +458,10 @@ def mmssl_train_step_impl(
         # loss and its d_params gradient match in expectation exactly (and
         # bit-for-bit with dropout off).  Halves the predr tower cost; the
         # full-width inputr still feeds the gradient penalty below.
-        predr = apply_discriminator(
-            d_params, real, cfg.model, cfg.parity, train=True, rng=r_dr, mp_bwd=True
-        )
+        if not fused_l1:
+            predr = apply_discriminator(
+                d_params, real, cfg.model, cfg.parity, train=True, rng=r_dr, mp_bwd=True
+            )
         lossf = jnp.mean(predf)
         lossr = -jnp.mean(predr)
         gp = gradient_penalty(d_params, inputr, inputf, r_gp, cfg)

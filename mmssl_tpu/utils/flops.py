@@ -36,35 +36,55 @@ def _lowered_flops(lowered) -> Optional[float]:
     return float(flops) if flops and flops > 0 else None
 
 
+def _abstract(tree):
+    """ShapeDtypeStruct skeleton of a pytree (works for typed PRNG keys)."""
+    return jax.tree.map(lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), tree)
+
+
 def train_step_flops(tr) -> Optional[float]:
     """FLOPs of one steady-state train step of ``tr`` (a Trainer), or None
-    if XLA's cost analysis is unavailable."""
+    if XLA's cost analysis is unavailable.
+
+    The step is lowered with ABSTRACT operands on the CPU backend when one
+    is available: the axon TPU relay returns no HLO cost analysis, while the
+    FLOP count of the lowered program is backend-independent.  Bench scripts
+    append ",cpu" to JAX_PLATFORMS so the CPU backend coexists with axon."""
     B = tr.cfg.data.batch_size
-    users = jnp.zeros((B,), jnp.int32)
+    users = jax.ShapeDtypeStruct((B,), jnp.int32)
     try:
-        if tr.is_mmssl:
-            from mmssl_tpu.train.steps_mmssl import mmssl_train_step
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        cpu = None
+    import contextlib
 
-            lowered = mmssl_train_step.lower(
-                tr.state, tr.consts, users, users, users, jnp.asarray(False),
-                cfg=tr.cfg, g_opt=tr.g_opt, d_opt=tr.d_opt,
-                n_users=tr.ds.n_users, n_items=tr.ds.n_items,
-                # Steady-state program: the use_init cond compiled out, as in
-                # the timed region of the benches.
-                use_init_static=False,
-            )
-        else:
-            from mmssl_tpu.train.steps_simple import simple_train_step
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    try:
+        with ctx:
+            if tr.is_mmssl:
+                from mmssl_tpu.train.steps_mmssl import mmssl_train_step
 
-            lowered = simple_train_step.lower(
-                tr.state, tr.consts, users, users, users,
-                cfg=tr.cfg, opt=tr.opt,
-                # Steady-state: the carried item graph is reused, not rebuilt
-                # (LATTICE/MICRO rebuild only on each epoch's first batch).
-                build_item_graph=False, sparse=tr.sparse_mode,
-                n_items_real=tr._n_items_real,
-            )
-        return _lowered_flops(lowered)
+                lowered = mmssl_train_step.lower(
+                    _abstract(tr.state), _abstract(tr.consts),
+                    users, users, users, jax.ShapeDtypeStruct((), jnp.bool_),
+                    cfg=tr.cfg, g_opt=tr.g_opt, d_opt=tr.d_opt,
+                    n_users=tr.ds.n_users, n_items=tr.ds.n_items,
+                    # Steady-state program: the use_init cond compiled out, as
+                    # in the timed region of the benches.
+                    use_init_static=False,
+                )
+            else:
+                from mmssl_tpu.train.steps_simple import simple_train_step
+
+                lowered = simple_train_step.lower(
+                    _abstract(tr.state), _abstract(tr.consts), users, users, users,
+                    cfg=tr.cfg, opt=tr.opt,
+                    # Steady-state: the carried item graph is reused, not
+                    # rebuilt (LATTICE/MICRO rebuild on each epoch's first
+                    # batch only).
+                    build_item_graph=False, sparse=tr.sparse_mode,
+                    n_items_real=tr._n_items_real,
+                )
+            return _lowered_flops(lowered)
     except Exception:
         return None
 

@@ -24,6 +24,10 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 jax.config.update("jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# CPU backend alongside the TPU for the MFU fields (see bench.py / utils/flops).
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat:
+    jax.config.update("jax_platforms", _plat + ",cpu")
 sys.path.insert(0, _ROOT)
 
 import jax.numpy as jnp

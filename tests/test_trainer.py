@@ -1,12 +1,29 @@
 """End-to-end training on tiny synthetic data: every model runs, losses
 decrease, eval protocol and early stopping behave (SURVEY.md §4 item 4)."""
 
+import gc
+
+import jax
 import numpy as np
 import pytest
 
 from mmssl_tpu.config import preset
 from mmssl_tpu.train.trainer import Trainer
 from mmssl_tpu.utils.logging import MetricLogger
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches_per_test():
+    """Per-FUNCTION executable clearing for this module (stronger than the
+    per-module conftest fixture): full-suite runs deterministically abort
+    inside XLA-CPU ``backend_compile_and_load`` when this module's flagship
+    fast-path program compiles with several hundred live executables from
+    the preceding modules; the same test passes in shorter runs.  Each test
+    here builds fresh trainers/configs anyway, so intra-module cache reuse
+    is minimal and the recompile cost is small."""
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 def _mk_trainer(tiny_dataset, model, **overrides):
@@ -249,6 +266,20 @@ def test_mmssl_disc_lowrank_matches_direct(tiny_dataset):
     tr_off = _mk_trainer(tiny_dataset, "mmssl", **{**kw, "model.disc_lowrank": "off"})
     tr_on = _mk_trainer(tiny_dataset, "mmssl", **{**kw, "model.disc_lowrank": "on"})
     assert tr_on.cfg.model.disc_lowrank == "on"
+    for idx in range(4):
+        m_off = np.asarray(tr_off.train_batch(idx))
+        m_on = np.asarray(tr_on.train_batch(idx))
+        np.testing.assert_allclose(m_on, m_off, rtol=5e-3, atol=1e-4)
+
+
+def test_mmssl_disc_fused_l1_matches_separate(tiny_dataset):
+    """disc_fused_l1 (one l1 GEMM for the fake + real towers, split before
+    BatchNorm) reproduces the separate-tower trajectory: per-tower BN stats
+    and per-tower dropout keys are unchanged, so only GEMM tiling order can
+    differ."""
+    kw = {"train.m_topk_rate": 0.1, "train.steps_per_dispatch": 0}
+    tr_off = _mk_trainer(tiny_dataset, "mmssl", **kw)
+    tr_on = _mk_trainer(tiny_dataset, "mmssl", **{**kw, "model.disc_fused_l1": True})
     for idx in range(4):
         m_off = np.asarray(tr_off.train_batch(idx))
         m_on = np.asarray(tr_on.train_batch(idx))
