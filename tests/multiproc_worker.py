@@ -108,9 +108,25 @@ def main() -> None:
     ]
     assert tr._densified and not bool(np.asarray(replicate(tr.state.use_init)))
 
-    # ---- 3. sharded evaluation ----
+    # Fused-epoch program (lax.scan + on-device sampling) across processes:
+    # exercises global_device_put of the sampler consts and the scanned
+    # collectives; the on-device PRNG stream is part of the global state, so
+    # the chunk metrics must also agree with the single-process run.
+    chunk = np.asarray(replicate(tr.train_chunk(3, 2)))
+    assert np.isfinite(chunk).all()
+    result["chunk_metrics"] = chunk.tolist()
+
+    # ---- 3. sharded evaluation (both reference test modes) ----
     val = tr.evaluate("val")
     result["eval"] = {k: np.asarray(v).reshape(-1).tolist() for k, v in val.items()}
+    import dataclasses
+
+    from mmssl_tpu.eval.evaluator import Evaluator
+
+    ev_full = Evaluator(ds, dataclasses.replace(cfg.eval, test_flag="full"), mesh=mesh)
+    u_emb, i_emb = tr.eval_embeddings()
+    full = ev_full.evaluate(u_emb, i_emb, "val")
+    result["eval_full_auc"] = float(np.asarray(full["auc"]))
 
     # ---- 4. checkpoint across processes: save, restore fresh, continue ----
     tr.save_checkpoint(3, {"epoch": 0, "proc_test": True})

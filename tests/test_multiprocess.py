@@ -144,11 +144,28 @@ def test_two_process_matches_single_process(two_process_results):
     # divergence is collective reduction order across process boundaries.
     np.testing.assert_allclose(ours, r0["step_metrics"], rtol=1e-4, atol=1e-5)
 
+    # Fused-epoch scan (on-device sampling: the PRNG stream is carried state,
+    # so the chunk is comparable across cluster geometries too).
+    chunk = np.asarray(tr.train_chunk(3, 2))
+    np.testing.assert_allclose(chunk, r0["chunk_metrics"], rtol=1e-4, atol=1e-5)
+
     val = tr.evaluate("val")
     for k in ("recall", "precision", "ndcg", "hit_ratio"):
         np.testing.assert_allclose(
             np.asarray(val[k]).reshape(-1), r0["eval"][k], rtol=1e-5, atol=1e-6
         )
+    # 'full'-AUC mode: the workers ran the catalog-sharded per-shard
+    # sort/searchsorted decomposition across PROCESS boundaries; compare
+    # against this driver's replicated dense computation.
+    import dataclasses
+
+    from mmssl_tpu.eval.evaluator import Evaluator
+
+    u_emb, i_emb = tr.eval_embeddings()
+    dense_full = Evaluator(tr.ds, dataclasses.replace(cfg.eval, test_flag="full"))
+    auc = float(np.asarray(dense_full.evaluate(u_emb, i_emb, "val")["auc"]))
+    assert auc > 0
+    np.testing.assert_allclose(auc, r0["eval_full_auc"], rtol=1e-4)
     # The checkpointed continuation also matches single-process.
     np.testing.assert_allclose(
         fixed_step(3, False), r0["post_resume_metrics"], rtol=1e-4, atol=1e-5

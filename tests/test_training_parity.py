@@ -445,6 +445,186 @@ def _fit_ours(traj_dataset, model, **overrides):
     return res
 
 
+def _run_ref_simple_recorded(subdir, argv, capture_weights):
+    """Like _run_ref_simple, but also records every sampled batch and the
+    initial weights (cloned before training mutates them).  The default
+    LATTICE/MICRO trainers are fully deterministic given those: dropout only
+    exists in the unused NGCF cf-branch, there is no adversarial/Gumbel
+    noise, and the LR scheduler steps per epoch."""
+    with _ref_env(subdir, argv) as main_mod:
+        main_mod.set_seed(main_mod.args.seed)
+        bt = sys.modules["utility.batch_test"]
+        config = {
+            "n_users": bt.data_generator.n_users,
+            "n_items": bt.data_generator.n_items,
+        }
+        _, norm_adj, _ = bt.data_generator.get_adj_mat()
+        config["norm_adj"] = norm_adj
+        trainer = main_mod.Trainer(data_config=config)
+        n_batch = bt.data_generator.n_train // main_mod.args.batch_size + 1
+        batches = []
+        orig_sample = bt.data_generator.sample
+
+        def rec_sample():
+            out = orig_sample()
+            batches.append(tuple(np.asarray(x) for x in out))
+            return out
+
+        bt.data_generator.sample = rec_sample
+        init_w = capture_weights(trainer.model)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            trainer.train()
+    rows = _parse_epochs(
+        buf.getvalue().splitlines(),
+        rf"Epoch (\d+) \[[^\]]*\]: train==\[{_FLOAT}={_FLOAT} \+ {_FLOAT}",
+    )
+    return rows, batches, n_batch, init_w
+
+
+def _drive_ours_simple(traj_dataset, model, batches, n_batch, epochs, transplant, **ov):
+    """Replay the reference's batches through our simple train step from the
+    reference's initial weights; returns per-epoch [loss, mf, emb] sums."""
+    import jax.numpy as jnp
+
+    from mmssl_tpu.train.steps_simple import simple_train_step
+
+    cfg = preset("tiny", model, **{
+        "data.data_path": traj_dataset,
+        "data.batch_size": BATCH,
+        "model.embed_size": EMBED,
+        "train.epochs": epochs,
+        "eval.ks": (5, 10, 20),
+        **ov,
+    })
+    tr = Trainer(cfg, logger=MetricLogger(quiet=True))
+    assert tr.n_batch == n_batch
+    params = transplant(dict(tr.state.params))
+    tr.state = tr.state._replace(params=params, opt_state=tr.opt.init(params))
+    rows, bi = [], 0
+    for _ in range(epochs):
+        ep = []
+        for idx in range(n_batch):
+            u, p, n = batches[bi]
+            bi += 1
+            tr.state, m = simple_train_step(
+                tr.state, tr.consts,
+                jnp.asarray(u, jnp.int32), jnp.asarray(p, jnp.int32), jnp.asarray(n, jnp.int32),
+                cfg=tr.cfg, opt=tr.opt, build_item_graph=idx == 0,
+                sparse=tr.sparse_mode, n_items_real=None,
+            )
+            ep.append(np.asarray(m))
+        rows.append(np.sum(ep, axis=0))  # SIMPLE_METRIC_KEYS order
+    return rows
+
+
+def _assert_equiv_simple(our_rows, ref_rows, what):
+    def rel_dev(a, b):
+        a, b = np.asarray(a, float), np.asarray(b, float)
+        return float(np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-8)))
+
+    devs = {
+        "loss": rel_dev([r[0] for r in our_rows], [r[1] for r in ref_rows]),
+        "mf": rel_dev([r[1] for r in our_rows], [r[2] for r in ref_rows]),
+    }
+    print(f"{what} equivalence max rel devs: {devs}", file=sys.stderr)
+    # Measured 3-6e-5 (pure cross-framework fp noise); 3e-4 leaves 5-10x
+    # headroom while any drifted hyperparameter lands at percent scale.
+    np.testing.assert_allclose(
+        [r[0] for r in our_rows], [r[1] for r in ref_rows], rtol=3e-4,
+        err_msg=f"{what} loss trajectory")
+    np.testing.assert_allclose(
+        [r[1] for r in our_rows], [r[2] for r in ref_rows], rtol=3e-4,
+        err_msg=f"{what} mf trajectory")
+
+
+def test_lattice_trainer_equivalence_deterministic(traj_dataset):
+    """LATTICE trainer equivalence (no bands): replayed batches +
+    transplanted initial weights make the whole trainer — kNN graph build,
+    carried learned graph, LightGCN branch, per-epoch LR schedule, AdamW —
+    the same deterministic map in both frameworks."""
+    EP = 3
+    w = lambda t: np.array(t.detach().numpy())
+    argv = [
+        "--data_path", traj_dataset + "/", "--dataset", "tiny",
+        "--batch_size", str(BATCH), "--embed_size", str(EMBED),
+        "--feat_embed_dim", str(EMBED), "--epoch", str(EP), "--Ks", KS,
+        "--verbose", "1",
+    ]
+
+    def capture(ref):
+        return {
+            "user_emb": w(ref.user_embedding.weight),
+            "item_emb": w(ref.item_id_embedding.weight),
+            "modal_weight": w(ref.modal_weight),
+            "trs": {m: (w(lin.weight).T, w(lin.bias))
+                    for m, lin in (("image", ref.image_trs), ("text", ref.text_trs))},
+        }
+
+    ref_rows, batches, n_batch, init_w = _run_ref_simple_recorded(
+        "LATTICE/codes", argv, capture)
+    assert len(ref_rows) == EP and len(batches) == EP * n_batch
+
+    def transplant(params):
+        import jax.numpy as jnp
+
+        params["user_emb"] = jnp.asarray(init_w["user_emb"])
+        params["item_emb"] = jnp.asarray(init_w["item_emb"])
+        params["modal_weight"] = jnp.asarray(init_w["modal_weight"])
+        params["trs"] = {m: {"w": jnp.asarray(wt), "b": jnp.asarray(b)}
+                         for m, (wt, b) in init_w["trs"].items()}
+        return params
+
+    our_rows = _drive_ours_simple(traj_dataset, "lattice", batches, n_batch, EP, transplant)
+    _assert_equiv_simple(our_rows, ref_rows, "LATTICE")
+
+
+def test_micro_trainer_equivalence_deterministic(traj_dataset):
+    """MICRO trainer equivalence: adds the per-modality carried item graphs,
+    attention fusion, and the loss_ratio-weighted full-catalog InfoNCE to
+    the deterministic map (this is the machinery whose loss_ratio parity bug
+    the banded tests only caught at 33x; here a 2x drift fails)."""
+    EP = 3
+    w = lambda t: np.array(t.detach().numpy())
+    argv = [
+        "--debug", "--data_path", traj_dataset + "/", "--dataset", "tiny",
+        "--batch_size", str(BATCH), "--embed_size", str(EMBED),
+        "--epoch", str(EP), "--Ks", KS, "--sparse", "0", "--verbose", "1",
+    ]
+
+    def capture(ref):
+        q1, q2 = ref.query[0], ref.query[2]
+        return {
+            "user_emb": w(ref.user_embedding.weight),
+            "item_emb": w(ref.item_id_embedding.weight),
+            "trs": {m: (w(lin.weight).T, w(lin.bias))
+                    for m, lin in (("image", ref.image_trs), ("text", ref.text_trs))},
+            "query1": (w(q1.weight).T, w(q1.bias)),
+            "query2_w": w(q2.weight).T,
+        }
+
+    ref_rows, batches, n_batch, init_w = _run_ref_simple_recorded(
+        "MICRO/codes", argv, capture)
+    assert len(ref_rows) == EP and len(batches) == EP * n_batch
+
+    def transplant(params):
+        import jax.numpy as jnp
+
+        params["user_emb"] = jnp.asarray(init_w["user_emb"])
+        params["item_emb"] = jnp.asarray(init_w["item_emb"])
+        params["trs"] = {m: {"w": jnp.asarray(wt), "b": jnp.asarray(b)}
+                         for m, (wt, b) in init_w["trs"].items()}
+        params["query1"] = {"w": jnp.asarray(init_w["query1"][0]),
+                            "b": jnp.asarray(init_w["query1"][1])}
+        params["query2_w"] = jnp.asarray(init_w["query2_w"])
+        return params
+
+    our_rows = _drive_ours_simple(
+        traj_dataset, "micro", batches, n_batch, EP, transplant,
+        **{"model.micro_sparse": False})
+    _assert_equiv_simple(our_rows, ref_rows, "MICRO")
+
+
 def test_lattice_training_trajectory(traj_dataset):
     argv = [
         "--data_path", traj_dataset + "/", "--dataset", "tiny",
