@@ -139,6 +139,33 @@ def main() -> None:
     np.testing.assert_allclose(m_orig, m_restored, rtol=1e-5, atol=1e-6)
     result["post_resume_metrics"] = m_restored
 
+    # ---- 5. zoo SPMD across processes: LATTICE's build step carries the
+    # n_items^2 kNN + learned item graph (global_device_put of item_state /
+    # original_adjs across process boundaries), then a carried step and a
+    # fused chunk on the same buffers.
+    cfg_l = preset("tiny", "lattice", **{
+        "data.data_path": data_root,
+        "data.batch_size": 16,
+        "model.embed_size": 16,
+        "eval.ks": (3, 5, 10),
+    })
+    tl = Trainer(cfg_l, logger=MetricLogger(quiet=True), mesh=mesh)
+
+    def fixed_simple_step(trainer, i: int, build: bool):
+        u, p, n = trainer.sampler.sample(np.random.default_rng(2000 + i))
+        trainer.state, m = trainer._sharded_simple[build](
+            trainer.state, trainer.consts, globalize(u), globalize(p), globalize(n)
+        )
+        return np.asarray(replicate(m)).tolist()
+
+    result["lattice_metrics"] = [
+        fixed_simple_step(tl, 0, True),   # kNN + learned-graph build
+        fixed_simple_step(tl, 1, False),  # carried-graph step
+    ]
+    lat_chunk = np.asarray(replicate(tl.train_chunk(2, 2)))
+    assert np.isfinite(lat_chunk).all()
+    result["lattice_chunk"] = lat_chunk.tolist()
+
     with open(os.path.join(out_dir, f"result_{proc_id}.json"), "w") as f:
         json.dump(result, f)
     print(f"[worker {proc_id}] OK", flush=True)

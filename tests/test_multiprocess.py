@@ -170,3 +170,26 @@ def test_two_process_matches_single_process(two_process_results):
     np.testing.assert_allclose(
         fixed_step(3, False), r0["post_resume_metrics"], rtol=1e-4, atol=1e-5
     )
+
+    # Zoo SPMD across processes: LATTICE build + carried + fused chunk (the
+    # n_items^2 learned/kNN item graphs placed cross-process).
+    cfg_l = preset("tiny", "lattice", **{
+        "data.data_path": two_process_results["data_root"],
+        "data.batch_size": 16,
+        "model.embed_size": 16,
+        "eval.ks": (3, 5, 10),
+    })
+    tl = Trainer(cfg_l, logger=MetricLogger(quiet=True), mesh=mesh)
+
+    def fixed_simple_step(i, build):
+        u, p, n = tl.sampler.sample(np.random.default_rng(2000 + i))
+        tl.state, m = tl._sharded_simple[build](
+            tl.state, tl.consts, jnp.asarray(u), jnp.asarray(p), jnp.asarray(n)
+        )
+        return np.asarray(m)
+
+    ours_l = [fixed_simple_step(0, True), fixed_simple_step(1, False)]
+    np.testing.assert_allclose(ours_l, r0["lattice_metrics"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(tl.train_chunk(2, 2)), r0["lattice_chunk"], rtol=1e-4, atol=1e-5
+    )
