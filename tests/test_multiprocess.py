@@ -89,6 +89,58 @@ def two_process_results(tmp_path_factory):
     return {"results": results, "data_root": root}
 
 
+def test_cli_two_process_train(tmp_path):
+    """The user-facing launch path: two ``python -m mmssl_tpu.cli train
+    --distributed --mesh 4x2`` processes join via the env-configured
+    coordinator (MMSSL_TPU_COORDINATOR/NUM_PROCESSES/PROCESS_ID) and train
+    one epoch on the shared mesh; both exit 0 and report identical
+    summaries."""
+    root = str(tmp_path)
+    write_synthetic_dataset(root, "tiny", n_users=48, n_items=32, seed=4)
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = " ".join(
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f
+        )
+        env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["MMSSL_TPU_CPU_DEVICES"] = "4"
+        env["MMSSL_TPU_COORDINATOR"] = f"localhost:{port}"
+        env["MMSSL_TPU_NUM_PROCESSES"] = "2"
+        env["MMSSL_TPU_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "mmssl_tpu.cli", "--platform", "cpu",
+             "train", "--dataset", "tiny", "--model", "mf", "--data-path", root,
+             "--epochs", "2", "--mesh", "4x2", "--distributed",
+             "--set", "data.batch_size=16", "--set", "model.embed_size=16",
+             "--set", "eval.ks=(3,5)"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    except subprocess.TimeoutExpired:  # pragma: no cover
+        for p in procs:
+            p.kill()
+        pytest.fail("CLI cluster timed out:\n" + "\n".join(outs))
+    for p, out in zip(procs, outs):
+        if p.returncode != 0:
+            if "Failed to bind" in out or "address in use" in out.lower():
+                pytest.skip("coordinator port collision:\n" + out[-2000:])
+            pytest.fail(f"CLI worker failed (rc={p.returncode}):\n{out[-6000:]}")
+    summaries = [json.loads(out.strip().splitlines()[-1]) for out in outs]
+    assert summaries[0]["epochs_run"] == 2
+    np.testing.assert_allclose(
+        summaries[0]["best_val_recall"], summaries[1]["best_val_recall"], rtol=1e-6
+    )
+    assert summaries[0]["test"]["recall"] == summaries[1]["test"]["recall"]
+
+
 def test_two_process_loader_assembles_global_batch(two_process_results):
     """Each process contributed its half; the assembled global batch equals
     the host-side reference construction — verified INSIDE both workers
