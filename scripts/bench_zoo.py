@@ -35,6 +35,9 @@ import numpy as np
 
 TIKTOK = {"n_users": 9_319, "n_items": 6_710, "dims": {"image": 128, "audio": 128, "text": 768}}
 SPORTS = {"n_users": 35_598, "n_items": 18_357, "dims": {"image": 4096, "text": 1024}}
+# The reference's 4th published dataset geometry (README.md:40-47): wide
+# visual (2048) against a NEAR-DEGENERATE 20-d text modality.
+ALLRECIPES = {"n_users": 19_805, "n_items": 10_067, "dims": {"image": 2048, "text": 20}}
 
 
 def log(msg):
@@ -68,17 +71,17 @@ def build_trainer(name: str):
     from mmssl_tpu.utils.logging import MetricLogger
     import dataclasses
 
-    tri = name == "mmssl_tiktok"
-    sports = name == "mmssl_sports"
-    model = "mmssl" if (tri or sports) else name
-    if tri:
-        ds = synth_dataset("tiktok_scale", TIKTOK)
-        dims = TIKTOK["dims"]
-        dsname = "tiktok_scale"
-    elif sports:
-        ds = synth_dataset("sports_scale", SPORTS)
-        dims = SPORTS["dims"]
-        dsname = "sports_scale"
+    scales = {
+        "mmssl_tiktok": ("tiktok", "tiktok_scale", TIKTOK),
+        "mmssl_sports": ("sports", "sports_scale", SPORTS),
+        "mmssl_allrecipes": ("allrecipes", "allrecipes_scale", ALLRECIPES),
+    }
+    scaled = scales.get(name)
+    model = "mmssl" if scaled else name
+    if scaled:
+        preset_name, dsname, spec = scaled
+        ds = synth_dataset(dsname, spec)
+        dims = spec["dims"]
     else:
         ds = bench.get_dataset()
         dims = bench.FEAT_DIMS
@@ -93,8 +96,8 @@ def build_trainer(name: str):
             micro_sparse=False,
         ),
     )
-    if tri or sports:
-        cfg = preset("tiktok" if tri else "sports", "mmssl", **{
+    if scaled:
+        cfg = preset(preset_name, "mmssl", **{
             "data.data_path": os.path.join(_ROOT, ".bench_data"),
             "data.dataset": dsname,
             "data.batch_size": 1024,
