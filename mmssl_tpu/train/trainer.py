@@ -635,6 +635,26 @@ class Trainer:
         u_emb, i_emb = self.eval_embeddings()
         return self.evaluator.evaluate(u_emb, i_emb, which)
 
+    def _effective_spd(self) -> int:
+        """Fused-chunk size for fit(): ``train.steps_per_dispatch``, bent to
+        the largest divisor of n_batch in [spd/2, spd] when the epoch is big
+        enough — epochs then run as fused scans with NO per-batch tail (each
+        tail batch costs a full relay roundtrip, cost-model rule 4; at
+        Amazon-Baby scale n_batch=105 bends 32 -> 21: five fused dispatches
+        instead of three plus a 9-batch tail, ~0.3 s/epoch).  Per-step cost
+        is unchanged (same scan body, different static length) and the
+        densification cadence is computed from the carried within-epoch
+        index, so chunk boundaries never change semantics.  Falls back to
+        spd when n_batch has no divisor in range (e.g. prime); epochs
+        smaller than spd keep the per-batch path exactly as before."""
+        spd = self.cfg.train.steps_per_dispatch
+        if spd <= 0 or self.n_batch < spd:
+            return spd
+        for c in range(spd, max(spd // 2, 1) - 1, -1):
+            if self.n_batch % c == 0:
+                return c
+        return spd
+
     # ------------------------------------------------------------------
     def fit(self, epochs: Optional[int] = None) -> FitResult:
         cfg = self.cfg
@@ -660,7 +680,7 @@ class Trainer:
             # (build_item_graph=True is a different compiled program).  Under
             # a mesh both the MMSSL and simple-model paths dispatch the
             # sharded scan programs (make_sharded_*_epoch).
-            spd = cfg.train.steps_per_dispatch
+            spd = self._effective_spd()
             if spd > 0:
                 if cfg.model.name in ("lattice", "micro"):
                     metric_rows.append(self.train_batch(0)[None])

@@ -367,3 +367,23 @@ def test_mmssl_single_modality(tiny_dataset):
     assert np.isfinite(m).all()
     res = tr.evaluate("val")
     assert np.isfinite(res["recall"]).all()
+
+
+def test_effective_spd_bends_to_epoch_divisor(tiny_dataset):
+    """fit()'s fused-chunk size bends to the largest divisor of n_batch in
+    [spd/2, spd] so production epochs have no per-batch relay tail; primes
+    fall back, tiny epochs are untouched."""
+    tr = _mk_trainer(tiny_dataset, "mf")
+    spd = tr.cfg.train.steps_per_dispatch
+    cases = {
+        105: 21 if spd == 32 else None,  # Amazon-Baby geometry
+        227: spd,                        # prime -> fallback
+        spd * 4: spd,                    # already divides
+        spd - 1: spd,                    # epoch smaller than spd -> unchanged
+    }
+    for n_batch, want in cases.items():
+        tr.n_batch = n_batch
+        got = tr._effective_spd()
+        if want is not None:
+            assert got == want, (n_batch, spd, got)
+        assert got <= max(spd, 1) and (n_batch < spd or n_batch % got == 0 or got == spd)
