@@ -239,9 +239,12 @@ class TrainConfig:
     # sampler.  On relay-attached TPUs every host roundtrip costs ~40 ms, so
     # fusing an epoch's batches into one program removes most of the
     # end-to-end step cost; the sampling distribution is identical
-    # (data/sampler_device.py).  Epoch tails shorter than this run as
-    # per-batch dispatches to bound compile variants.
-    steps_per_dispatch: int = 32
+    # (data/sampler_device.py).  fit() bends the actual chunk length to
+    # minimize the per-batch epoch tail (Trainer._effective_spd).  Default
+    # 64: measured 9.32 vs 9.70 ms/step at Amazon-Baby scale over 32 (the
+    # per-chunk dispatch+fetch overhead halves; whole-epoch 105-step chunks
+    # measured 9.15 — docs/performance.md round 3).
+    steps_per_dispatch: int = 64
     # Rematerialize the fused forward in the generator VJP (jax.checkpoint):
     # trades one extra forward's FLOPs for dropping its residuals, for
     # catalogs where [n_users, (1+2M)d] activations pressure HBM.

@@ -637,23 +637,33 @@ class Trainer:
 
     def _effective_spd(self) -> int:
         """Fused-chunk size for fit(): ``train.steps_per_dispatch``, bent to
-        the largest divisor of n_batch in [spd/2, spd] when the epoch is big
-        enough — epochs then run as fused scans with NO per-batch tail (each
-        tail batch costs a full relay roundtrip, cost-model rule 4; at
-        Amazon-Baby scale n_batch=105 bends 32 -> 21: five fused dispatches
-        instead of three plus a 9-batch tail, ~0.3 s/epoch).  Per-step cost
-        is unchanged (same scan body, different static length) and the
+        the chunk length in [cap/2, cap] (cap = min(spd, n_batch)) that
+        minimizes the epoch's per-batch TAIL — each tail batch costs a full
+        relay roundtrip (cost-model rule 4), so epochs should run as fused
+        scans end to end.  The largest zero-tail length (a divisor of
+        n_batch) wins outright: Amazon-Baby (n_batch=105, spd=64) bends to
+        35 — three fused dispatches, no tail; Tiktok scale (n_batch=59 <
+        spd) runs the WHOLE epoch as one dispatch; prime epochs pick the
+        minimal-tail length (Sports-scale 227 -> 45, tail 2).  Per-step
+        cost is unchanged (same scan body, different static length) and the
         densification cadence is computed from the carried within-epoch
-        index, so chunk boundaries never change semantics.  Falls back to
-        spd when n_batch has no divisor in range (e.g. prime); epochs
-        smaller than spd keep the per-batch path exactly as before."""
+        index, so chunk boundaries never change semantics.  Tiny epochs
+        (cap < 32) keep the per-batch path exactly as before (the test
+        calibration regime)."""
         spd = self.cfg.train.steps_per_dispatch
-        if spd <= 0 or self.n_batch < spd:
+        if spd <= 0:
             return spd
-        for c in range(spd, max(spd // 2, 1) - 1, -1):
-            if self.n_batch % c == 0:
-                return c
-        return spd
+        cap = min(spd, self.n_batch)
+        if cap < 32:
+            return spd
+        best, best_tail = cap, self.n_batch % cap
+        for c in range(cap, max(cap // 2, 1) - 1, -1):
+            tail = self.n_batch % c
+            if tail == 0:
+                return c  # largest divisor wins (descending scan)
+            if tail < best_tail:
+                best, best_tail = c, tail
+        return best
 
     # ------------------------------------------------------------------
     def fit(self, epochs: Optional[int] = None) -> FitResult:

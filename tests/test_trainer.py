@@ -369,21 +369,19 @@ def test_mmssl_single_modality(tiny_dataset):
     assert np.isfinite(res["recall"]).all()
 
 
-def test_effective_spd_bends_to_epoch_divisor(tiny_dataset):
-    """fit()'s fused-chunk size bends to the largest divisor of n_batch in
-    [spd/2, spd] so production epochs have no per-batch relay tail; primes
-    fall back, tiny epochs are untouched."""
-    tr = _mk_trainer(tiny_dataset, "mf")
-    spd = tr.cfg.train.steps_per_dispatch
+def test_effective_spd_minimizes_epoch_tail(tiny_dataset):
+    """fit()'s fused-chunk size bends to the tail-minimizing length in
+    [cap/2, cap] (cap = min(spd, n_batch)): divisors win outright, primes
+    pick the minimal tail, whole small-but-not-tiny epochs fuse as one
+    dispatch, and tiny epochs keep the per-batch path."""
+    tr = _mk_trainer(tiny_dataset, "mf", **{"train.steps_per_dispatch": 64})
     cases = {
-        105: 21 if spd == 32 else None,  # Amazon-Baby geometry
-        227: spd,                        # prime -> fallback
-        spd * 4: spd,                    # already divides
-        spd - 1: spd,                    # epoch smaller than spd -> unchanged
+        105: 35,   # Amazon-Baby geometry: largest divisor <= 64, zero tail
+        227: 45,   # Sports geometry (prime): minimal tail (227 = 5*45 + 2)
+        256: 64,   # already divides
+        59: 59,    # Tiktok geometry: whole epoch as ONE dispatch
+        20: 64,    # tiny epoch (cap < 32): per-batch path unchanged
     }
     for n_batch, want in cases.items():
         tr.n_batch = n_batch
-        got = tr._effective_spd()
-        if want is not None:
-            assert got == want, (n_batch, spd, got)
-        assert got <= max(spd, 1) and (n_batch < spd or n_batch % got == 0 or got == spd)
+        assert tr._effective_spd() == want, (n_batch, tr._effective_spd())
