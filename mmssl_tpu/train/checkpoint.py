@@ -75,6 +75,19 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def read_extra(self, step: Optional[int] = None) -> Tuple[int, Dict[str, Any]]:
+        """Read only the JSON ``extra`` metadata of a checkpoint (no tensor
+        restore) — used to decide how to interpret the saved state (e.g. the
+        geometry-portable format marker) before building the restore
+        template."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        restored = self._mgr.restore(
+            step, args=ocp.args.Composite(extra=ocp.args.JsonRestore())
+        )
+        return step, restored["extra"] or {}
+
     def restore(self, state_template: Any, step: Optional[int] = None) -> Tuple[Any, Dict[str, Any]]:
         step = step if step is not None else self.latest_step()
         if step is None:

@@ -163,32 +163,90 @@ class Trainer:
 
     def save_checkpoint(self, step: int, extra: Optional[Dict[str, Any]] = None) -> None:
         if self.ckpt is not None:
-            self.ckpt.save(step, self.state, extra)
+            extra = dict(extra or {})
+            # Geometry-portable format marker (train/portable.py): catalog
+            # tables are saved sliced to REAL rows, so the checkpoint restores
+            # under ANY mesh geometry.  Real counts recorded for validation.
+            extra["ckpt_geometry"] = {
+                "portable": 1,
+                "n_users": self.ds.n_users,
+                "n_items": self.ds.n_items,
+            }
+            self.ckpt.save(step, self._to_portable(self.state), extra)
+
+    def _to_portable(self, state):
+        from mmssl_tpu.train import portable as P
+
+        if self.is_mmssl:
+            return P.mmssl_to_portable(state, self.ds.n_users, self.ds.n_items)
+        return P.simple_to_portable(state, self.ds.n_users, self.ds.n_items)
+
+    def _from_portable(self, pstate):
+        from mmssl_tpu.train import portable as P
+
+        if self.is_mmssl:
+            st = P.mmssl_from_portable(
+                pstate, self.ds.n_users, self.ds.n_items, self.n_users_pad, self.n_items_pad
+            )
+        else:
+            st = P.simple_from_portable(
+                pstate, self.ds.n_users, self.ds.n_items, self.n_users_pad, self.n_items_pad
+            )
+        # Place exactly as _build placed the live state, so the compiled
+        # sharded programs (whose in_shardings were derived from that
+        # placement) run on the restored buffers without resharding.
+        if self.mesh is not None:
+            from mmssl_tpu.parallel.spmd import global_device_put, tree_shardings
+
+            return global_device_put(st, tree_shardings(self.mesh, st))
+        return jax.device_put(st)
 
     def resume(self, step: Optional[int] = None) -> Dict[str, Any]:
         """Restore the latest (or given) checkpoint into this trainer.
-        Returns the extra metadata dict saved alongside."""
+        Returns the extra metadata dict saved alongside.
+
+        Checkpoints are mesh-geometry-portable (train/portable.py): catalog
+        tables are stored at REAL row counts and re-padded to THIS trainer's
+        mesh multiples on restore, so a run saved under one mesh geometry
+        (or none) restores under any other — the §5.4 recovery story for
+        restart-after-preemption on a different slice shape."""
         assert self.ckpt is not None, "no checkpoint_dir configured"
-        try:
-            self.state, extra = self.ckpt.restore(self.state, step)
-        except Exception as e:
-            # Catalog tables are saved at mesh-dependent GEOMETRY-PADDED row
-            # counts (user/item tables pad to model-axis multiples, see
-            # _build_mmssl/_build_simple), so a checkpoint written under one
-            # mesh cannot restore into a trainer with a different mesh or no
-            # mesh — orbax surfaces that as a raw shape mismatch.  Name the
-            # likely cause instead of leaking the opaque error (ADVICE r2).
-            if "shape" in str(e).lower():
+        step, extra = self.ckpt.read_extra(step)
+        geom = extra.get("ckpt_geometry")
+        if geom and geom.get("portable"):
+            if (geom["n_users"], geom["n_items"]) != (self.ds.n_users, self.ds.n_items):
                 raise RuntimeError(
-                    f"checkpoint restore hit a shape mismatch. This trainer pads "
-                    f"catalog tables to mesh multiples (n_users {self.ds.n_users} -> "
-                    f"{self.n_users_pad}, n_items {self.ds.n_items} -> {self.n_items_pad}; "
-                    f"mesh={'none' if self.mesh is None else dict(self.mesh.shape)}); a "
-                    "checkpoint saved under a different mesh geometry (or without a mesh) "
-                    "stores differently padded tables. Rebuild the trainer with the mesh "
-                    "the checkpoint was written under, then restore."
-                ) from e
-            raise
+                    f"checkpoint was written for a dataset with "
+                    f"{geom['n_users']} users / {geom['n_items']} items; this trainer's "
+                    f"dataset has {self.ds.n_users} / {self.ds.n_items} — not restorable."
+                )
+            template = self._to_portable(self.state)
+            pstate, extra = self.ckpt.restore(template, step)
+            self.state = self._from_portable(pstate)
+        else:
+            # Legacy (pre-portable) checkpoint: the saved tables carry the
+            # writer's geometry padding, so the template is the live state.
+            try:
+                self.state, extra = self.ckpt.restore(self.state, step)
+            except Exception as e:
+                # A raw orbax shape mismatch here has several possible causes
+                # (ADVICE r3: don't claim one confidently) — a legacy
+                # checkpoint written under a different mesh geometry, or a
+                # changed batch_size / densify_period / embed_size.
+                if "shape" in str(e).lower():
+                    raise RuntimeError(
+                        f"legacy checkpoint restore hit a shape mismatch. Likely causes: "
+                        f"the checkpoint predates the geometry-portable format and was "
+                        f"saved under a different mesh (this trainer pads n_users "
+                        f"{self.ds.n_users} -> {self.n_users_pad}, n_items {self.ds.n_items} "
+                        f"-> {self.n_items_pad}; mesh="
+                        f"{'none' if self.mesh is None else dict(self.mesh.shape)}), or a "
+                        "config change altered state shapes (batch_size / embed_size / "
+                        "densify_period change buffer capacities). Rebuild the trainer "
+                        "with the config+mesh the checkpoint was written under, restore, "
+                        "then re-save to upgrade it to the portable format."
+                    ) from e
+                raise
         if self.is_mmssl:
             # Re-derive the host-side mirror of the monotone use_init flag so
             # the post-rebuild static program specialization survives resume.
@@ -637,28 +695,36 @@ class Trainer:
 
     def _effective_spd(self) -> int:
         """Fused-chunk size for fit(): ``train.steps_per_dispatch``, bent to
-        the chunk length in [cap/2, cap] (cap = min(spd, n_batch)) that
+        the chunk length in [cap/2, cap] (cap = min(spd, stream)) that
         minimizes the epoch's per-batch TAIL — each tail batch costs a full
         relay roundtrip (cost-model rule 4), so epochs should run as fused
-        scans end to end.  The largest zero-tail length (a divisor of
-        n_batch) wins outright: Amazon-Baby (n_batch=105, spd=64) bends to
-        35 — three fused dispatches, no tail; Tiktok scale (n_batch=59 <
-        spd) runs the WHOLE epoch as one dispatch; prime epochs pick the
-        minimal-tail length (Sports-scale 227 -> 45, tail 2).  Per-step
-        cost is unchanged (same scan body, different static length) and the
-        densification cadence is computed from the carried within-epoch
-        index, so chunk boundaries never change semantics.  Tiny epochs
-        (cap < 32) keep the per-batch path exactly as before (the test
-        calibration regime)."""
+        scans end to end.  The chunked STREAM is ``n_batch`` steps for
+        MMSSL/CF models but ``n_batch - 1`` for LATTICE/MICRO, whose first
+        batch is dispatched separately as the build-item-graph program
+        (ADVICE r3: minimizing n_batch % c for those models produced a
+        (n_batch-1) % c per-batch tail — 34 relay roundtrips per Baby
+        epoch).  The largest zero-tail length (a divisor of the stream)
+        wins outright: Amazon-Baby MMSSL (stream=105, spd=64) bends to
+        35 — three fused dispatches, no tail; LATTICE bends to 52 (stream
+        104); Tiktok scale (stream 59 < spd) runs the WHOLE epoch as one
+        dispatch; prime streams pick the minimal-tail length (Sports-scale
+        227 -> 45, tail 2).  Per-step cost is unchanged (same scan body,
+        different static length) and the densification cadence is computed
+        from the carried within-epoch index, so chunk boundaries never
+        change semantics.  Tiny epochs (cap < 32) keep the per-batch path
+        exactly as before (the test calibration regime)."""
         spd = self.cfg.train.steps_per_dispatch
         if spd <= 0:
             return spd
-        cap = min(spd, self.n_batch)
+        # Chunking starts after the separately-dispatched first batch for
+        # the graph-building models (see fit()).
+        stream = self.n_batch - (1 if self.cfg.model.name in ("lattice", "micro") else 0)
+        cap = min(spd, stream)
         if cap < 32:
             return spd
-        best, best_tail = cap, self.n_batch % cap
+        best, best_tail = cap, stream % cap
         for c in range(cap, max(cap // 2, 1) - 1, -1):
-            tail = self.n_batch % c
+            tail = stream % c
             if tail == 0:
                 return c  # largest divisor wins (descending scan)
             if tail < best_tail:

@@ -85,7 +85,14 @@ def train_step_flops(tr) -> Optional[float]:
                     n_items_real=tr._n_items_real,
                 )
             return _lowered_flops(lowered)
-    except Exception:
+    except Exception as e:
+        # Diagnose instead of silently yielding mfu_pct=null in the bench
+        # JSON (ADVICE r3): a lowering bug should be visible on stderr.
+        import sys
+        import traceback
+
+        print(f"train_step_flops: lowering failed ({e!r})", file=sys.stderr)
+        traceback.print_exc()
         return None
 
 
@@ -93,7 +100,13 @@ def mfu_fields(flops_per_step: Optional[float], step_time_s: float) -> dict:
     """The bench-JSON fields derived from a FLOP count (empty when the
     count is unavailable)."""
     if not flops_per_step or step_time_s <= 0:
-        return {"tflops_per_step": None, "mfu_pct": None}
+        # Same key set as the available branch (ADVICE r3: keep the JSON
+        # schema consistent across runs).
+        return {
+            "tflops_per_step": None,
+            "mfu_pct": None,
+            "mfu_peak_tflops": V5E_BF16_PEAK_TFLOPS,
+        }
     achieved = flops_per_step / step_time_s  # FLOP/s
     return {
         "tflops_per_step": round(flops_per_step / 1e12, 4),

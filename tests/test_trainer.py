@@ -385,3 +385,35 @@ def test_effective_spd_minimizes_epoch_tail(tiny_dataset):
     for n_batch, want in cases.items():
         tr.n_batch = n_batch
         assert tr._effective_spd() == want, (n_batch, tr._effective_spd())
+
+
+def test_effective_spd_offsets_graph_building_models(tiny_dataset):
+    """LATTICE/MICRO dispatch batch 0 separately (the build-item-graph
+    program) and chunk from idx=1, so the chunked stream is n_batch-1 steps;
+    the tail must be minimized against THAT stream (ADVICE r3: minimizing
+    n_batch % c instead produced a 34-roundtrip per-epoch tail at Baby
+    scale)."""
+    import types
+
+    from mmssl_tpu.train.trainer import Trainer
+
+    def spd_for(model, n_batch, spd=64):
+        stub = types.SimpleNamespace(
+            cfg=types.SimpleNamespace(
+                train=types.SimpleNamespace(steps_per_dispatch=spd),
+                model=types.SimpleNamespace(name=model),
+            ),
+            n_batch=n_batch,
+        )
+        return Trainer._effective_spd(stub)
+
+    # Baby geometry: stream 104 -> 52 (zero tail; the old code returned 35
+    # against n_batch=105, leaving a 104 % 35 = 34-batch tail).
+    assert spd_for("lattice", 105) == 52
+    assert spd_for("micro", 105) == 52
+    assert (105 - 1) % spd_for("lattice", 105) == 0
+    # Tiktok geometry: stream 58 fuses as one dispatch.
+    assert spd_for("lattice", 59) == 58
+    # MMSSL/CF models are unaffected by the offset.
+    assert spd_for("mmssl", 105) == 35
+    assert spd_for("lightgcn", 105) == 35
