@@ -13,6 +13,15 @@ Prints one JSON line per model:
    "train_time_s": ...}
 
 Usage: python scripts/bench_quality.py [model ...] [--epochs N]
+
+``--check`` (VERDICT r3 #2b): additionally diff every model's test R@20
+against the committed baseline (scripts/quality_baseline.json, the last
+accepted chip measurement) and exit nonzero if any model falls outside the
+band — the on-chip quality regression gate.  The band (+/- 0.015) sits
+above the measured cadence/seed variance (+/- 0.003 for MMSSL/LATTICE,
+docs/performance.md) and below the smallest quality bug this protocol has
+caught (MICRO loss_ratio: -0.022).  After an ACCEPTED quality change,
+refresh the baseline with --update-baseline.
 """
 
 import argparse
@@ -86,6 +95,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--scale", default="baby_scale",
                     choices=["baby_scale", "tiktok_scale", "sports_scale"])
+    ap.add_argument("--check", action="store_true",
+                    help="gate against scripts/quality_baseline.json (exit 1 outside band)")
+    ap.add_argument("--update-baseline", action="store_true",
+                    help="write this run's numbers to scripts/quality_baseline.json")
+    ap.add_argument("--band", type=float, default=0.015)
     args = ap.parse_args()
     models = args.models or ["mf", "lightgcn", "lattice", "micro", "mmssl"]
     import bench
@@ -110,13 +124,49 @@ def main():
     jax.block_until_ready(list(ds.feats.values()))
     _ = float(ds.feats[m][0, 0])  # force the upload (relay sync by fetching)
     log(f"bench_quality: feature upload {time.time()-t0:.0f}s")
+    results = {}
     for m in models:
         try:
             out = run(m, args.epochs, ds, args.scale)
             log(f"bench_quality[{m}]: {out}")
             print(json.dumps(out), flush=True)
+            results[m] = out
         except Exception as e:
             print(json.dumps({"model": m, "error": repr(e)[:200]}), flush=True)
+
+    baseline_path = os.path.join(_ROOT, "scripts", "quality_baseline.json")
+    if args.update_baseline:
+        with open(baseline_path, "w") as f:
+            json.dump(
+                {"scale": args.scale, "band": args.band,
+                 "models": {m: {"recall@20": r["recall@20"], "ndcg@20": r["ndcg@20"]}
+                            for m, r in results.items()}},
+                f, indent=2,
+            )
+        log(f"bench_quality: baseline updated at {baseline_path}")
+    if args.check:
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        band = args.band
+        failures = []
+        for m, exp in baseline.get("models", {}).items():
+            if m not in models:
+                continue  # only gate the models this invocation ran
+            got = results.get(m)
+            if got is None or got.get("recall@20") is None:
+                failures.append(f"{m}: protocol failed to produce a test R@20")
+                continue
+            delta = got["recall@20"] - exp["recall@20"]
+            if abs(delta) > band:
+                failures.append(
+                    f"{m}: R@20 {got['recall@20']:.4f} vs baseline "
+                    f"{exp['recall@20']:.4f} (delta {delta:+.4f} > band {band})"
+                )
+        if failures:
+            for fmsg in failures:
+                log(f"bench_quality CHECK FAILED: {fmsg}")
+            sys.exit(1)
+        log("bench_quality check: all models within band")
 
 
 if __name__ == "__main__":
