@@ -11,7 +11,7 @@ propagation is one SpMM; the whole forward is jittable and differentiable.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -90,6 +90,46 @@ def init_ngcf(key: jax.Array, n_users: int, n_items: int, cfg: ModelConfig) -> d
     return params
 
 
+def resolve_node_real(
+    params: dict, n_users_real: Optional[int], n_items_real: Optional[int]
+) -> Optional[Tuple[int, int]]:
+    """(real user count, real item count) when EITHER catalog axis is
+    geometry-padded (parallel/spmd.py), else None.  A side that is not
+    padded has its real count equal to the table's row count."""
+    if n_users_real is None and n_items_real is None:
+        return None
+    nu = n_users_real if n_users_real is not None else params["user_emb"].shape[0]
+    ni = n_items_real if n_items_real is not None else params["item_emb"].shape[0]
+    return (nu, ni)
+
+
+def _node_dropout(
+    sub: jax.Array,
+    ego: jnp.ndarray,
+    rate: float,
+    n_users_pad: int,
+    n_real: Optional[Tuple[int, int]],
+) -> jnp.ndarray:
+    """mess_dropout over the joint [n_users + n_items, d] node axis.
+
+    With geometry-padded tables the mask is drawn at the REAL node dims and
+    scattered into the padded layout (mirroring gumbel_soften_rows,
+    steps_mmssl.py), so the PRNG stream — and hence the trajectory — is
+    bit-identical to the unpadded run at ANY dropout rate (VERDICT r3 #6;
+    previously equality held only at rate 0).  Pad rows keep mask True:
+    their values are never read by a real row (pad graph columns are empty
+    and every reduction is row-wise)."""
+    if n_real is None:
+        return dropout(sub, ego, rate, True)
+    nu_r, ni_r = n_real
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(sub, keep, (nu_r + ni_r, ego.shape[1]))
+    full = jnp.ones((ego.shape[0], ego.shape[1]), jnp.bool_)
+    full = full.at[:nu_r].set(mask[:nu_r])
+    full = full.at[n_users_pad : n_users_pad + ni_r].set(mask[nu_r:])
+    return jnp.where(full, ego / keep, 0.0)
+
+
 def ngcf_propagate(
     params: dict,
     user_emb: jnp.ndarray,
@@ -99,12 +139,14 @@ def ngcf_propagate(
     train: bool,
     rng: Optional[jax.Array],
     concat_layers: bool,
+    n_real: Optional[Tuple[int, int]] = None,
 ) -> CFOutput:
     """NGCF propagation (MICRO/codes/Models.py:203-218).
 
     ``concat_layers=True`` matches the standalone NGCF module (cat over
     layers); LATTICE/MICRO's ngcf CF-branch instead means over the stack
-    (LATTICE/codes/Models.py:106-124) -> pass False.
+    (LATTICE/codes/Models.py:106-124) -> pass False.  ``n_real``: real
+    (user, item) counts under geometry padding (see _node_dropout).
     """
     n_users = user_emb.shape[0]
     ego = jnp.concatenate([user_emb, item_emb], axis=0)
@@ -116,7 +158,8 @@ def ngcf_propagate(
         ego = summed + bi
         if train and rng is not None and i < len(mess_dropout):
             rng, sub = jax.random.split(rng)
-            ego = dropout(sub, ego, mess_dropout[i], train)
+            if mess_dropout[i] > 0:
+                ego = _node_dropout(sub, ego, mess_dropout[i], n_users, n_real)
         outs.append(l2_normalize(ego, axis=1))
     if concat_layers:
         all_emb = jnp.concatenate(outs, axis=1)
@@ -131,6 +174,7 @@ def apply_ngcf(
     cfg: ModelConfig,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    n_real: Optional[Tuple[int, int]] = None,
 ) -> CFOutput:
     return ngcf_propagate(
         params,
@@ -141,6 +185,7 @@ def apply_ngcf(
         train,
         rng,
         concat_layers=True,
+        n_real=n_real,
     )
 
 
@@ -150,6 +195,7 @@ def cf_branch(
     cfg: ModelConfig,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    n_real: Optional[Tuple[int, int]] = None,
 ) -> CFOutput:
     """The CF branch shared by LATTICE/MICRO (LATTICE/codes/Models.py:106-138):
     cf_model selects lightgcn (mean stack) / ngcf (normalized mean stack) /
@@ -166,6 +212,7 @@ def cf_branch(
             train,
             rng,
             concat_layers=False,
+            n_real=n_real,
         )
     if cfg.cf_model == "mf":
         return CFOutput(params["user_emb"], params["item_emb"])

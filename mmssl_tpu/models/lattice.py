@@ -99,12 +99,15 @@ def apply_lattice(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     n_items_real: Optional[int] = None,
+    n_users_real: Optional[int] = None,
 ) -> LatticeOutput:
     """``n_items_real``: set when the item axis is geometry-padded to mesh
     multiples (parallel/spmd.py) — restricts the learned kNN selection to
     the real catalog (pad rows of trs-projected feats are bias rows, NOT
     zero, so without masking they could enter real rows' top-k) and keeps
-    the carried graph's pad rows/cols exact zeros."""
+    the carried graph's pad rows/cols exact zeros.  ``n_users_real``: real
+    user count under padding — with it the ngcf CF-branch draws its
+    mess_dropout masks at the real node dims (models/cf._node_dropout)."""
     modalities = sorted(feats)
     weight = jax.nn.softmax(params["modal_weight"], axis=0)
     dt = resolve_dtype(cfg.compute_dtype)
@@ -134,6 +137,9 @@ def apply_lattice(
     for _ in range(cfg.n_item_layers):
         h = matmul(item_adj, h, dt)
 
-    cf = cf_branch(params, joint, cfg, train, rng)
+    from mmssl_tpu.models.cf import resolve_node_real
+
+    cf = cf_branch(params, joint, cfg, train, rng,
+                   n_real=resolve_node_real(params, n_users_real, n_items_real))
     item_out = cf.item_emb + l2_normalize(h, axis=1)
     return LatticeOutput(user_emb=cf.user_emb, item_emb=item_out, item_adj=item_adj)

@@ -130,11 +130,13 @@ def apply_micro(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     n_items_real: Optional[int] = None,
+    n_users_real: Optional[int] = None,
 ) -> MicroOutput:
     """``n_items_real``: geometry-padded item axis (parallel/spmd.py) —
     masks the learned kNN selection to the real catalog (see
     models/lattice.apply_lattice) so the carried graphs, and hence every
-    propagated embedding's pad rows, stay exact zeros."""
+    propagated embedding's pad rows, stay exact zeros.  ``n_users_real``:
+    see models/lattice.apply_lattice (ngcf-branch dropout parity)."""
     modalities = sorted(feats)
     dt = resolve_dtype(cfg.compute_dtype)
 
@@ -172,7 +174,10 @@ def apply_micro(
     for i, m in enumerate(modalities):
         fusion = fusion + weight[:, i : i + 1] * mm_item_embeds[m]
 
-    cf = cf_branch(params, joint, cfg, train, rng)
+    from mmssl_tpu.models.cf import resolve_node_real
+
+    cf = cf_branch(params, joint, cfg, train, rng,
+                   n_real=resolve_node_real(params, n_users_real, n_items_real))
     item_out = cf.item_emb + l2_normalize(fusion, axis=1)
     return MicroOutput(
         user_emb=cf.user_emb,

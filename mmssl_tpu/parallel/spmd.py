@@ -226,10 +226,12 @@ def make_sharded_simple_step(
     consts,
     sparse: bool = True,
     n_items_real: "int | None" = None,
+    n_users_real: "int | None" = None,
 ):
     """SPMD variants of the single-optimizer train step (LATTICE/MICRO/CF
     baselines, train/steps_simple.py), mirroring make_sharded_mmssl_step.
-    ``n_items_real``: set when the Trainer geometry-padded the item axis.
+    ``n_items_real``/``n_users_real``: set when the Trainer geometry-padded
+    the catalog axes.
 
     Returns (step_build, step_nobuild, sharded_state, sharded_consts): the
     two compiled programs per model (build_item_graph is a compile-time
@@ -249,7 +251,7 @@ def make_sharded_simple_step(
             partial(
                 simple_train_step_impl,
                 cfg=cfg, opt=opt, build_item_graph=build, sparse=sparse,
-                n_items_real=n_items_real,
+                n_items_real=n_items_real, n_users_real=n_users_real,
             ),
             in_shardings=(state_sh, consts_sh, batch_sh, batch_sh, batch_sh),
             out_shardings=(state_sh, metrics_sh),
@@ -272,6 +274,7 @@ def make_sharded_simple_epoch(
     n_items: int,
     sparse: bool = True,
     n_items_real: "int | None" = None,
+    n_users_real: "int | None" = None,
 ):
     """Fused-chunk SPMD variant of the simple-model epoch scan (on-device
     sampling, no per-step host traffic), sharded identically to
@@ -289,7 +292,7 @@ def make_sharded_simple_epoch(
         partial(
             simple_train_epoch_impl,
             n_items=n_items, cfg=cfg, opt=opt, sparse=sparse,
-            n_items_real=n_items_real,
+            n_items_real=n_items_real, n_users_real=n_users_real,
         ),
         static_argnums=(3,),  # n_steps
         in_shardings=(state_sh, consts_sh, sampler_sh),

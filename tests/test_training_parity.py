@@ -541,7 +541,8 @@ def _assert_equiv_simple(our_rows, ref_rows, what):
 def test_lattice_trainer_equivalence_deterministic(traj_dataset):
     """LATTICE trainer equivalence (no bands): replayed batches +
     transplanted initial weights make the whole trainer — kNN graph build,
-    carried learned graph, LightGCN branch, per-epoch LR schedule, AdamW —
+    carried learned graph, LightGCN branch, per-epoch LR schedule, Adam
+    (the reference uses plain Adam here, LATTICE/codes/main.py:47) —
     the same deterministic map in both frameworks."""
     EP = 3
     w = lambda t: np.array(t.detach().numpy())
