@@ -131,9 +131,14 @@ class ModelConfig:
     # (tiny T*B*k capacity; a dense rebuild would re-scatter the full matrix
     # every T batches).
     graph_impl: str = "coo"  # coo | dense
-    # dense-mode storage: bfloat16 | float32 values, or int8 entry counts +
+    # dense-mode storage: bfloat16 | float32 values, int8 entry counts +
     # f32 row scale (halves graph HBM reads; exact for the row-constant
-    # normalized graphs — see ops/sparse.DenseGraph)
+    # normalized graphs — see ops/sparse.DenseGraph), or 'bit' — packed
+    # one-bit interaction bitmaps for the CF joint propagation (8x fewer
+    # graph bytes; exact for binary interactions, the reference data
+    # contract; ops/sparse.BitBipartiteJointGraph, VERDICT r3 #9).  'bit'
+    # applies to the simple-model joint blocks only (MMSSL's graph engine
+    # is MXU-FLOP-bound at its stack width — nothing to save).
     graph_dtype: str = "bfloat16"
     # Input dtype of the hot GEMMs (discriminator MLP, modality projectors,
     # full-catalog u_sim sweeps).  'bfloat16' casts the matmul operands to

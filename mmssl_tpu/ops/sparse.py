@@ -396,6 +396,146 @@ class BipartiteJointGraph:
         return jnp.concatenate([u, i], axis=0)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BitBipartiteJointGraph:
+    """BipartiteJointGraph with the interaction blocks stored as BITMAPS
+    (``ModelConfig.graph_dtype='bit'``; VERDICT r3 #9).
+
+    The reference's interactions are binary, so the int8 entry-count blocks
+    carry 8x more HBM bytes than their information content.  Eight adjacent
+    column entries pack into one uint8; the unpack inside the kernel is a
+    contiguous broadcast-shift-mask ([n, m/8, 1] -> [n, m/8, 8] -> reshape,
+    layout-preserving, so XLA fuses it into the dot's operand read).
+    Measured at the LightGCN propagation shape ([19445, 7050] x [7050, 64]):
+    0.972 ms vs 1.097 ms int8 (-11%) with 17 MB vs 137 MB of graph reads.
+    Two negative variants recorded in docs/performance.md: jnp.int4 proper
+    (the axon relay cannot pass S4 jit arguments at all) and strided 4-bit
+    packing (the lo/hi interleave forces a relayout: 6.5 ms, 6x WORSE).
+
+    Transposed reads never happen: the joint action needs R for the user
+    block and R^T for the item block in the FORWARD, and its VJP needs them
+    swapped —
+
+      gx_u = s_u o g_u + R   (s_i o g_i)
+      gx_i = s_i o g_i + R^T (s_u o g_u)
+
+    — so storing both packed blocks (rp, rtp) serves forward AND backward
+    with contiguous reads (the custom VJP below routes each product to the
+    matching block).  Column axes pad to a multiple of 8 with zero bits;
+    ``spmm`` pads/slices x accordingly (static shapes, sub-MB copies)."""
+
+    rp: jnp.ndarray  # uint8 [n_users, ceil8(n_items) / 8] packed R
+    rtp: jnp.ndarray  # uint8 [n_items, ceil8(n_users) / 8] packed R^T
+    inv_deg_u: jnp.ndarray  # f32 [n_users] = 1 / (deg_u + 1)
+    inv_deg_i: jnp.ndarray  # f32 [n_items]
+
+    def tree_flatten(self):
+        return (self.rp, self.rtp, self.inv_deg_u, self.inv_deg_i), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        n = self.rp.shape[0] + self.rtp.shape[0]
+        return (n, n)
+
+    def spmm(self, x: jnp.ndarray) -> jnp.ndarray:
+        n_u, n_i = self.rp.shape[0], self.rtp.shape[0]
+        xu, xi = x[:n_u], x[n_u:]
+        u, i = _bit_joint_spmm(self.rp, self.rtp, self.inv_deg_u, self.inv_deg_i, xu, xi)
+        return jnp.concatenate([u, i], axis=0)
+
+
+def _unpack_bits(p: jnp.ndarray, n_cols: int, dtype) -> jnp.ndarray:
+    """uint8 [n, m/8] -> [n, n_cols] matrix of 0/1 in ``dtype``; adjacent-
+    column grouping keeps the reshape layout-contiguous (no relayout)."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = ((p[:, :, None] >> shifts) & jnp.uint8(1)).astype(dtype)
+    return bits.reshape(p.shape[0], -1)[:, :n_cols]
+
+
+def _pad8_rows(x: jnp.ndarray, packed_cols: int) -> jnp.ndarray:
+    """Zero-pad x's row count to the unpacked width (8 * packed_cols)."""
+    pad = 8 * packed_cols - x.shape[0]
+    return x if pad == 0 else jnp.pad(x, ((0, pad), (0, 0)))
+
+
+@jax.custom_vjp
+def _bit_joint_spmm(rp, rtp, s_u, s_i, xu, xi):
+    cu = _unpack_bits(rp, 8 * rp.shape[1], jnp.bfloat16)
+    ci = _unpack_bits(rtp, 8 * rtp.shape[1], jnp.bfloat16)
+    u = jnp.matmul(cu, _pad8_rows(xi.astype(jnp.bfloat16), rp.shape[1]),
+                   preferred_element_type=jnp.float32) * s_u[:, None]
+    u = u + s_u[:, None] * xu
+    i = jnp.matmul(ci, _pad8_rows(xu.astype(jnp.bfloat16), rtp.shape[1]),
+                   preferred_element_type=jnp.float32) * s_i[:, None]
+    i = i + s_i[:, None] * xi
+    return u, i
+
+
+def _bit_joint_spmm_fwd(rp, rtp, s_u, s_i, xu, xi):
+    return _bit_joint_spmm(rp, rtp, s_u, s_i, xu, xi), (rp, rtp, s_u, s_i, xu, xi)
+
+
+def _bit_joint_spmm_bwd(res, g):
+    # Same mixed-precision contract as _scaled_dense_spmm_bwd; each
+    # transposed product rides the OTHER stored block, so every graph read
+    # is contiguous packed uint8.  dgraph/dscale cotangents are DCE'd in
+    # every live path (graphs are data, never differentiated).
+    rp, rtp, s_u, s_i, xu, xi = res
+    gu, gi = g
+    cu = _unpack_bits(rp, 8 * rp.shape[1], jnp.bfloat16)
+    ci = _unpack_bits(rtp, 8 * rtp.shape[1], jnp.bfloat16)
+    sgu = (gu * s_u[:, None]).astype(jnp.bfloat16)  # [n_u, d]
+    sgi = (gi * s_i[:, None]).astype(jnp.bfloat16)  # [n_i, d]
+    gxu = jnp.matmul(cu, _pad8_rows(sgi, rp.shape[1]),
+                     preferred_element_type=jnp.float32)[: xu.shape[0]]
+    gxu = (gxu + s_u[:, None] * gu).astype(xu.dtype)
+    gxi = jnp.matmul(ci, _pad8_rows(sgu, rtp.shape[1]),
+                     preferred_element_type=jnp.float32)[: xi.shape[0]]
+    gxi = (gxi + s_i[:, None] * gi).astype(xi.dtype)
+    ds_u = jnp.sum((jnp.matmul(cu, _pad8_rows(xi.astype(jnp.bfloat16), rp.shape[1]),
+                               preferred_element_type=jnp.float32) + xu) * gu, axis=1)
+    ds_i = jnp.sum((jnp.matmul(ci, _pad8_rows(xu.astype(jnp.bfloat16), rtp.shape[1]),
+                               preferred_element_type=jnp.float32) + xi) * gi, axis=1)
+    return None, None, ds_u, ds_i, gxu, gxi
+
+
+_bit_joint_spmm.defvjp(_bit_joint_spmm_fwd, _bit_joint_spmm_bwd)
+
+
+def _pack_bits_host(dense01: np.ndarray) -> np.ndarray:
+    """Binary f32/int [n, m] -> uint8 [n, ceil8(m)/8], adjacent-column
+    grouping (bit b of byte j = column 8j + b)."""
+    n, m = dense01.shape
+    m8 = ((m + 7) // 8) * 8
+    pad = np.zeros((n, m8), dtype=np.uint8)
+    pad[:, :m] = dense01.astype(np.uint8)
+    return np.packbits(pad.reshape(n, m8 // 8, 8), axis=-1, bitorder="little").reshape(n, m8 // 8)
+
+
+def bit_joint_from_counts(
+    r: np.ndarray, rt: np.ndarray, inv_deg_u: np.ndarray, inv_deg_i: np.ndarray
+) -> BitBipartiteJointGraph:
+    """Build the bitmap variant from the int entry-count blocks.  Raises for
+    non-binary counts (duplicate interactions): the bitmap represents 0/1
+    exactly; use graph_dtype='int8' for multigraph data."""
+    if r.max(initial=0) > 1 or rt.max(initial=0) > 1:
+        raise ValueError(
+            "graph_dtype='bit' needs binary interaction counts; this dataset "
+            "has duplicate (user, item) entries — use graph_dtype='int8'"
+        )
+    return BitBipartiteJointGraph(
+        rp=jnp.asarray(_pack_bits_host(np.asarray(r))),
+        rtp=jnp.asarray(_pack_bits_host(np.asarray(rt))),
+        inv_deg_u=jnp.asarray(np.asarray(inv_deg_u, np.float32)),
+        inv_deg_i=jnp.asarray(np.asarray(inv_deg_i, np.float32)),
+    )
+
+
 def joint_bipartite_graph(R: sp.spmatrix, dtype=jnp.int8) -> BipartiteJointGraph:
     """Build :class:`BipartiteJointGraph` from the user x item interaction
     matrix (same input as :func:`joint_adj`; entries must be integral —
@@ -461,6 +601,8 @@ def joint_bipartite_from_norm_adj(
 
     r = _counts(norm_adj[:n_users, n_users:], inv_deg_u, "user-item")
     rt = _counts(norm_adj[n_users:, :n_users], inv_deg_i, "item-user")
+    if dtype == "bit":
+        return bit_joint_from_counts(r, rt, inv_deg_u, inv_deg_i)
     if dtype == jnp.int8:
         if max(r.max(initial=0), rt.max(initial=0)) >= 128:
             raise ValueError("int8 joint blocks need interaction counts < 128")

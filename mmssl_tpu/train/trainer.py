@@ -311,6 +311,12 @@ class Trainer:
         if cfg.model.graph_impl == "dense":
             from mmssl_tpu.ops.sparse import sparse_to_dense_graph
 
+            if cfg.model.graph_dtype == "bit":
+                raise ValueError(
+                    "graph_dtype='bit' applies to the CF joint propagation only; "
+                    "MMSSL's graph-engine GEMMs are MXU-FLOP-bound at their stack "
+                    "width (docs/performance.md) — use graph_dtype='int8'"
+                )
             gdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8}[cfg.model.graph_dtype]
             ui_g = sparse_to_dense_graph(ui_g, gdtype)
             iu_g = sparse_to_dense_graph(iu_g, gdtype)
@@ -469,7 +475,8 @@ class Trainer:
             # never diverge on a dataset dir shipping a foreign cache.
             from mmssl_tpu.ops.sparse import joint_bipartite_from_norm_adj
 
-            gdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8}[cfg.model.graph_dtype]
+            gdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                      "int8": jnp.int8, "bit": "bit"}[cfg.model.graph_dtype]
             joint = joint_bipartite_from_norm_adj(
                 norm_adj, self.n_users_pad, self.n_items_pad, gdtype
             )

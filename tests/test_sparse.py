@@ -290,3 +290,69 @@ def test_joint_bipartite_from_norm_adj_rejects_foreign_cache():
     bad[0, 1] = 0.123  # non-diagonal entry inside the user-user block
     with pytest.raises(ValueError):
         joint_bipartite_from_norm_adj(sp.csr_matrix(bad), 5, 4, jnp.float32)
+
+
+def test_bit_bipartite_joint_graph_matches_int8():
+    """graph_dtype='bit' (VERDICT r3 #9): the packed-bitmap joint blocks
+    compute the same action and gradients as the int8/f32 paths for binary
+    interactions (incl. non-multiple-of-8 axes), and reject multigraphs."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from mmssl_tpu.ops.sparse import (
+        SparseGraph,
+        joint_adj,
+        joint_bipartite_from_norm_adj,
+        joint_bipartite_graph,
+    )
+
+    rng = np.random.default_rng(11)
+    n_u, n_i, d = 21, 13, 5  # neither axis divides 8
+    R = sp.csr_matrix((rng.random((n_u, n_i)) < 0.25).astype(np.float32))
+    _, norm_adj, _ = joint_adj(R, n_u, n_i)
+    g_ref = SparseGraph.from_scipy(norm_adj)
+    g_bit = joint_bipartite_from_norm_adj(norm_adj, n_u, n_i, "bit")
+    assert g_bit.rp.dtype == jnp.uint8 and g_bit.rp.shape == (n_u, 2)  # ceil8(13)/8
+    x = jnp.asarray(rng.normal(size=(n_u + n_i, d)).astype(np.float32))
+    y_ref = np.asarray(g_ref.spmm(x))
+    y_bit = np.asarray(g_bit.spmm(x))
+    np.testing.assert_allclose(y_bit, y_ref, rtol=2e-2, atol=2e-3)  # bf16 compute
+    # gradients route through the swapped-block custom VJP
+    f_ref = lambda x: jnp.sum(g_ref.spmm(x) ** 2)
+    f_bit = lambda x: jnp.sum(g_bit.spmm(x) ** 2)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f_bit)(x)), np.asarray(jax.grad(f_ref)(x)),
+        rtol=3e-2, atol=3e-2,
+    )
+    # duplicate interactions are rejected loudly
+    R2 = sp.csr_matrix(R * 2)
+    _, norm_adj2, _ = joint_adj(R2, n_u, n_i)
+    with pytest.raises(ValueError, match="binary"):
+        joint_bipartite_from_norm_adj(norm_adj2, n_u, n_i, "bit")
+
+
+def test_trainer_bit_graph_trains_and_matches(tmp_path):
+    """A LightGCN trainer on graph_dtype='bit' produces the same training
+    trajectory as int8 (binary data) through real train steps."""
+    import jax.numpy as jnp
+
+    from mmssl_tpu.config import preset
+    from mmssl_tpu.data import load_dataset, write_synthetic_dataset
+    from mmssl_tpu.train.trainer import Trainer
+    from mmssl_tpu.utils.logging import MetricLogger
+
+    root = str(tmp_path)
+    write_synthetic_dataset(root, "tiny", n_users=30, n_items=21, seed=5)
+
+    def run(gd):
+        cfg = preset("tiny", "lightgcn", **{
+            "data.data_path": root, "data.batch_size": 16,
+            "model.embed_size": 16, "model.graph_impl": "dense",
+            "model.graph_dtype": gd, "eval.ks": (3, 5),
+        })
+        tr = Trainer(cfg, dataset=load_dataset(cfg.data), logger=MetricLogger(quiet=True))
+        ms = [np.asarray(tr.train_batch(i)) for i in range(3)]
+        return np.stack(ms)
+
+    np.testing.assert_allclose(run("bit"), run("int8"), rtol=2e-3, atol=1e-4)
