@@ -224,6 +224,52 @@ def make_sharded_eval(
     return jax.jit(eval_all)
 
 
+def make_sharded_recommend_all(
+    mesh: Mesh,
+    k_max: int,
+    n_items_real: "int | None" = None,
+    ids_dtype=None,
+):
+    """Fused OFFLINE retrieval on the catalog-sharded mesh (serve/engine.py
+    ``recommend_all`` under SPMD): lax.scan over request batches of the
+    shard_map'd local-scoring + distributed-top-k kernel — the mesh analog
+    of the dense ``_topk_scan``, one dispatch + one packed fetch for the
+    whole user list, with the item axis scaling over chips.
+
+    Returns fn(u_emb [n_users, d] replicated, i_emb [n_items_pad, d] row-
+    sharded, train_pad [n_users, max_deg] replicated (-1 rows disable
+    exclusion), users_mat [n_chunks, B]) -> packed [n_chunks, B, 2*k_max]
+    f32 (scores ‖ ids), or ids-only at ``ids_dtype`` when given."""
+
+    def _local(u_rows, i_shard, u_train):
+        dummy_pos = jnp.full((u_rows.shape[0], 1), -1, jnp.int32)
+        dummy_cnt = jnp.zeros((u_rows.shape[0],), jnp.int32)
+        return _local_eval_batch(
+            u_rows, i_shard, u_train, dummy_pos, dummy_cnt,
+            k_max=k_max, n_items_real=n_items_real, full_auc=False,
+        )
+
+    smapped = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(), P(MODEL_AXIS, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def run(u_emb, i_emb_sharded, train_pad, users_mat):
+        def body(carry, users):
+            vals, ids = smapped(u_emb[users], i_emb_sharded, train_pad[users])
+            if ids_dtype is not None:
+                return carry, ids.astype(ids_dtype)
+            return carry, jnp.concatenate([vals, ids.astype(jnp.float32)], axis=-1)
+
+        _, packed = jax.lax.scan(body, jnp.zeros((), jnp.int32), users_mat)
+        return packed
+
+    return jax.jit(run)
+
+
 def shard_items(mesh: Mesh, i_emb: jnp.ndarray) -> jnp.ndarray:
     """Row-shard the item table over the model axis (n_items % P == 0)."""
     return jax.device_put(i_emb, NamedSharding(mesh, P(MODEL_AXIS, None)))

@@ -220,9 +220,11 @@ class RecommendEngine:
         ``return_scores=False`` fetches ids ONLY, at the narrowest integer
         width the catalog allows (int16 under 32,768 items) — the fetch is
         the binding cost of the fused job, and candidate generation rarely
-        needs the scores; ``scores`` comes back None.  Runs the dense
-        single-device program (the engine's tables are replicated; use
-        ``recommend`` for the catalog-sharded request path under a mesh)."""
+        needs the scores; ``scores`` comes back None.  Under a mesh with a
+        model axis the scan runs the catalog-sharded distributed-top-k
+        kernel (parallel/eval_sharded.make_sharded_recommend_all), so the
+        item axis scales over chips; otherwise the dense single-device
+        program."""
         if user_ids is None:
             users = np.arange(self.n_users, dtype=np.int32)
         else:
@@ -237,18 +239,23 @@ class RecommendEngine:
         n_chunks = max(-(-n // bs), 1)
         padded = np.concatenate([users, np.zeros(n_chunks * bs - n, dtype=np.int32)])
         users_mat = jnp.asarray(padded.reshape(n_chunks, bs))
+        ids_dtype = None
         if not return_scores:
             ids_dtype = jnp.int16 if self.n_items <= np.iinfo(np.int16).max else jnp.int32
-            ids = np.asarray(_topk_scan(
+        if self._i_emb_sharded is not None:
+            fn = self._sharded_all_for(k, None if return_scores else str(ids_dtype))
+            train = self.train_pad if exclude_train else jnp.full_like(self.train_pad, -1)
+            out = np.asarray(fn(self.user_emb, self._i_emb_sharded, train, users_mat))
+        else:
+            out = np.asarray(_topk_scan(
                 self.user_emb, self.item_emb, self.train_pad, users_mat,
                 k=k, exclude_train=exclude_train, impl=self.topk_impl,
                 ids_dtype=ids_dtype,
-            )).reshape(n_chunks * bs, k)[:n]
+            ))
+        if not return_scores:
+            ids = out.reshape(n_chunks * bs, k)[:n]
             return ids.astype(np.int32), None
-        packed = np.asarray(_topk_scan(
-            self.user_emb, self.item_emb, self.train_pad, users_mat,
-            k=k, exclude_train=exclude_train, impl=self.topk_impl,
-        )).reshape(n_chunks * bs, 2 * k)[:n]
+        packed = out.reshape(n_chunks * bs, 2 * k)[:n]
         return packed[:, k:].astype(np.int32), packed[:, :k].astype(np.float32)
 
     def _sharded_topk_for(self, k: int):
@@ -259,6 +266,23 @@ class RecommendEngine:
 
             self._sharded_k[k] = make_sharded_topk(self._sharded_mesh, k)
         return self._sharded_k[k]
+
+    def _sharded_all_for(self, k: int, ids_key: Optional[str]):
+        """Compiled catalog-sharded fused-retrieval program per (k, output
+        form); ids_key None = packed scores‖ids, else the ids dtype name."""
+        if not hasattr(self, "_sharded_all"):
+            self._sharded_all: Dict = {}
+        cache_key = (k, ids_key)
+        if cache_key not in self._sharded_all:
+            from mmssl_tpu.parallel.eval_sharded import make_sharded_recommend_all
+
+            ids_dtype = None
+            if ids_key is not None:
+                ids_dtype = jnp.int16 if "int16" in ids_key else jnp.int32
+            self._sharded_all[cache_key] = make_sharded_recommend_all(
+                self._sharded_mesh, k, ids_dtype=ids_dtype
+            )
+        return self._sharded_all[cache_key]
 
     def score(self, user_ids: Iterable[int], item_ids: Iterable[int]) -> np.ndarray:
         """Pointwise scores for aligned (user, item) pairs."""

@@ -139,6 +139,9 @@ def main():
         with open(baseline_path, "w") as f:
             json.dump(
                 {"scale": args.scale, "band": args.band,
+                 "_source": "full-protocol measurement on the real chip via "
+                            "scripts/bench_quality.py --update-baseline; refresh "
+                            "only after an ACCEPTED quality change",
                  "models": {m: {"recall@20": r["recall@20"], "ndcg@20": r["ndcg@20"]}
                             for m, r in results.items()}},
                 f, indent=2,

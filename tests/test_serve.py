@@ -186,3 +186,31 @@ def test_recommend_all_matches_request_path(tables):
         eng.recommend_all(k=3, user_ids=[99])
     with pytest.raises(ValueError, match="k must be"):
         eng.recommend_all(k=0)
+
+
+def test_recommend_all_sharded_matches_dense():
+    """recommend_all under a (4,2) mesh runs the catalog-sharded
+    distributed-top-k scan and returns exactly the dense results (packed
+    and ids-only forms, with and without train exclusion)."""
+    from mmssl_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(6)
+    n_users, n_items, d = 23, 16, 8  # n_items divides the model axis (2)
+    u = rng.normal(size=(n_users, d)).astype(np.float32)
+    i = rng.normal(size=(n_items, d)).astype(np.float32)
+    train_pad = np.full((n_users, 3), -1, dtype=np.int32)
+    for uu in range(n_users):
+        deg = rng.integers(0, 4)
+        train_pad[uu, :deg] = rng.choice(n_items, size=deg, replace=False)
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    dense = RecommendEngine(u, i, train_pad=train_pad, batch_size=8)
+    shard = RecommendEngine(u, i, train_pad=train_pad, batch_size=8, mesh=mesh)
+    assert shard._i_emb_sharded is not None
+    for kw in ({}, {"exclude_train": False}, {"return_scores": False}):
+        a = dense.recommend_all(k=5, **kw)
+        b = shard.recommend_all(k=5, **kw)
+        np.testing.assert_array_equal(a[0], b[0])
+        if a[1] is not None:
+            np.testing.assert_allclose(a[1], b[1], rtol=1e-5, atol=1e-6)
+        else:
+            assert b[1] is None
