@@ -136,12 +136,22 @@ class RecommendEngine:
         self.batch_size = int(batch_size)
         self._sharded_topk = None
         self._i_emb_sharded = None
+        self._n_items_real_sh = None
         if mesh is not None:
             model_p = mesh.shape.get("model", 1)
-            if model_p > 1 and self.n_items % model_p == 0:
+            if model_p > 1:
                 from mmssl_tpu.parallel.eval_sharded import shard_items
 
-                self._i_emb_sharded = shard_items(mesh, self.item_emb)
+                # Odd catalogs shard too (mirroring the Evaluator): pad the
+                # item table to a mesh multiple with zero rows; pad items
+                # are masked to -inf inside the kernels (n_items_real) so
+                # they can never be recommended.
+                n_pad = -(-self.n_items // model_p) * model_p
+                i_emb_p = self.item_emb
+                if n_pad != self.n_items:
+                    i_emb_p = jnp.pad(i_emb_p, ((0, n_pad - self.n_items), (0, 0)))
+                    self._n_items_real_sh = self.n_items
+                self._i_emb_sharded = shard_items(mesh, i_emb_p)
                 self._sharded_mesh = mesh
                 self._sharded_k: Dict[int, object] = {}
 
@@ -264,7 +274,9 @@ class RecommendEngine:
         if k not in self._sharded_k:
             from mmssl_tpu.parallel.eval_sharded import make_sharded_topk
 
-            self._sharded_k[k] = make_sharded_topk(self._sharded_mesh, k)
+            self._sharded_k[k] = make_sharded_topk(
+                self._sharded_mesh, k, n_items_real=self._n_items_real_sh
+            )
         return self._sharded_k[k]
 
     def _sharded_all_for(self, k: int, ids_key: Optional[str]):
@@ -280,7 +292,8 @@ class RecommendEngine:
             if ids_key is not None:
                 ids_dtype = jnp.int16 if "int16" in ids_key else jnp.int32
             self._sharded_all[cache_key] = make_sharded_recommend_all(
-                self._sharded_mesh, k, ids_dtype=ids_dtype
+                self._sharded_mesh, k, n_items_real=self._n_items_real_sh,
+                ids_dtype=ids_dtype,
             )
         return self._sharded_all[cache_key]
 

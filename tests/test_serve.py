@@ -214,3 +214,27 @@ def test_recommend_all_sharded_matches_dense():
             np.testing.assert_allclose(a[1], b[1], rtol=1e-5, atol=1e-6)
         else:
             assert b[1] is None
+
+
+def test_recommend_sharded_odd_catalog_matches_dense(tables):
+    """Odd catalogs shard for serving too (round 4, mirroring the
+    evaluator's geometry padding): both the request path and the fused
+    offline path on a (4,2) mesh equal the dense engine with 17 items, and
+    pad items never appear."""
+    from mmssl_tpu.parallel.mesh import make_mesh
+
+    u, i, train_pad = tables  # 23 x 17 — item axis NOT divisible by 2
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    dense = RecommendEngine(u, i, train_pad=train_pad, batch_size=8)
+    shard = RecommendEngine(u, i, train_pad=train_pad, batch_size=8, mesh=mesh)
+    assert shard._i_emb_sharded is not None and shard._n_items_real_sh == 17
+    users = list(range(23))
+    ids_d, sc_d = dense.recommend(users, k=6)
+    ids_s, sc_s = shard.recommend(users, k=6)
+    np.testing.assert_array_equal(ids_s, ids_d)
+    np.testing.assert_allclose(sc_s, sc_d, rtol=1e-5, atol=1e-6)
+    assert (ids_s < 17).all()
+    a_ids, a_sc = dense.recommend_all(k=6)
+    b_ids, b_sc = shard.recommend_all(k=6)
+    np.testing.assert_array_equal(b_ids, a_ids)
+    np.testing.assert_allclose(b_sc, a_sc, rtol=1e-5, atol=1e-6)
