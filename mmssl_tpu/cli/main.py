@@ -128,9 +128,15 @@ def cmd_recommend(args) -> int:
         return 0
     if args.users:
         users = [int(u) for u in args.users.split(",")]
+        ids, scores = engine.recommend(users, k=args.top_k,
+                                       exclude_train=not args.include_train)
     else:
+        # Full-user-base batch job: the fused offline path (one scanned
+        # dispatch + one packed fetch, ~10x the request loop on a
+        # relay-attached chip — serve/engine.recommend_all).
         users = list(range(trainer.ds.n_users))
-    ids, scores = engine.recommend(users, k=args.top_k, exclude_train=not args.include_train)
+        ids, scores = engine.recommend_all(k=args.top_k,
+                                           exclude_train=not args.include_train)
     out = sys.stdout if not args.out else open(args.out, "w")
     try:
         for n, u in enumerate(users):

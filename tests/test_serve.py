@@ -238,3 +238,20 @@ def test_recommend_sharded_odd_catalog_matches_dense(tables):
     b_ids, b_sc = shard.recommend_all(k=6)
     np.testing.assert_array_equal(b_ids, a_ids)
     np.testing.assert_allclose(b_sc, a_sc, rtol=1e-5, atol=1e-6)
+
+
+def test_cli_recommend_all_users(tmp_path, capsys):
+    """No --users = full-base batch job through the fused offline path."""
+    from mmssl_tpu.cli.main import main
+
+    rc = main(["synth", "--out", str(tmp_path), "--name", "d", "--users", "40", "--items", "20"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main([
+        "recommend", "--dataset", "d", "--model", "mf", "--data-path", str(tmp_path),
+        "--top-k", "4", "--set", "model.embed_size=8",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [l["user"] for l in lines] == list(range(40))
+    assert all(len(l["items"]) == 4 and len(l["scores"]) == 4 for l in lines)
