@@ -303,10 +303,14 @@ def _dense_spmm_bwd(res, g):
     # gradients, the standard mixed-precision contract.  The dmat cotangent
     # is exact but DCE'd by XLA in every live path (graphs are data, never
     # differentiated).
+    from mmssl_tpu.models.common import dot_t_left, dot_t_right
+
     mat, x = res
     gc = g.astype(mat.dtype)
-    gx = jnp.matmul(mat.T, gc, preferred_element_type=jnp.float32).astype(x.dtype)
-    dmat = jnp.matmul(gc, x.astype(mat.dtype).T, preferred_element_type=jnp.float32)
+    # Transpose-free contraction: an explicit mat.T is NOT folded into the
+    # dot by XLA and costs ~20% on the VJP product (see common.dot_t_left).
+    gx = dot_t_left(mat, gc).astype(x.dtype)
+    dmat = dot_t_right(gc, x.astype(mat.dtype))
     return dmat, gx
 
 
@@ -334,13 +338,16 @@ def _scaled_dense_spmm_bwd(res, g):
     # compute dtype (same mixed-precision contract as _dense_spmm_bwd).  The
     # dmat/dscale cotangents are exact but DCE'd in every live path (graphs
     # are data, never differentiated).
+    from mmssl_tpu.models.common import dot_t_left, dot_t_right
+
     mat, scale, x = res
     cm = mat.astype(jnp.bfloat16) if mat.dtype != jnp.float32 else mat
     sg = (g * scale[:, None]).astype(cm.dtype)
-    gx = jnp.matmul(cm.T, sg, preferred_element_type=jnp.float32).astype(x.dtype)
+    # Transpose-free contraction (see common.dot_t_left).
+    gx = dot_t_left(cm, sg).astype(x.dtype)
     cx = jnp.matmul(cm, x.astype(cm.dtype), preferred_element_type=jnp.float32)
     dscale = jnp.sum(cx * g, axis=1)
-    dmat = jnp.matmul(sg, x.astype(cm.dtype).T, preferred_element_type=jnp.float32).astype(mat.dtype)
+    dmat = dot_t_right(sg, x.astype(cm.dtype)).astype(mat.dtype)
     return dmat, dscale, gx
 
 
