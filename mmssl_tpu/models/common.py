@@ -60,25 +60,9 @@ def resolve_dtype(name: str):
     return None if name in ("float32", "f32", "") else jnp.dtype(name)
 
 
-def dot_t_left(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a^T @ b (f32 accumulation) WITHOUT materializing a^T: dot_general
-    contracting dim0 with dim0.  In ISOLATION an explicit ``transpose ->
-    dot`` is not folded (0.712 vs 0.585 ms on a [7050, 7050] bf16 @
-    [7050, 64] VJP product, round 4); inside the full fused train programs
-    the change measured NEUTRAL (flagship 9.31 vs 9.35, zoo within noise) —
-    XLA's fusion pipeline handles the transposes there.  Kept as the
-    canonical form for custom-VJP transposed products: never slower, and
-    robust to fusion-context changes."""
-    return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-
-def dot_t_right(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a @ b^T without materializing b^T (see dot_t_left)."""
-    return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+# Transpose-free contraction helpers live in ops/sparse (the lower layer:
+# ops must not import models); re-exported here for the model-level VJPs.
+from mmssl_tpu.ops.sparse import dot_t_left, dot_t_right  # noqa: E402
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from mmssl_tpu.config import ModelConfig, ParityConfig
-from mmssl_tpu.models.cf import CFOutput, cf_branch
+from mmssl_tpu.models.cf import CFOutput, cf_branch, resolve_node_real
 from mmssl_tpu.models.common import (
     init_linear,
     l2_normalize,
@@ -136,8 +136,6 @@ def apply_lattice(
     h = params["item_emb"]
     for _ in range(cfg.n_item_layers):
         h = matmul(item_adj, h, dt)
-
-    from mmssl_tpu.models.cf import resolve_node_real
 
     cf = cf_branch(params, joint, cfg, train, rng,
                    n_real=resolve_node_real(params, n_users_real, n_items_real))

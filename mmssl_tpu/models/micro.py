@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from mmssl_tpu.config import ModelConfig, ParityConfig
-from mmssl_tpu.models.cf import CFOutput, cf_branch, init_ngcf
+from mmssl_tpu.models.cf import CFOutput, cf_branch, init_ngcf, resolve_node_real
 from mmssl_tpu.models.common import (
     init_linear,
     l2_normalize,
@@ -173,8 +173,6 @@ def apply_micro(
     fusion = jnp.zeros_like(params["item_emb"])
     for i, m in enumerate(modalities):
         fusion = fusion + weight[:, i : i + 1] * mm_item_embeds[m]
-
-    from mmssl_tpu.models.cf import resolve_node_real
 
     cf = cf_branch(params, joint, cfg, train, rng,
                    n_real=resolve_node_real(params, n_users_real, n_items_real))

@@ -228,6 +228,27 @@ def scipy_to_dense(mat: sp.spmatrix) -> jnp.ndarray:
     return jnp.asarray(np.asarray(sp.csr_matrix(mat).todense(), dtype=np.float32))
 
 
+def dot_t_left(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a^T @ b (f32 accumulation) WITHOUT materializing a^T: dot_general
+    contracting dim0 with dim0.  In ISOLATION an explicit ``transpose ->
+    dot`` is not folded (0.712 vs 0.585 ms on a [7050, 7050] bf16 @
+    [7050, 64] VJP product, round 4); inside the full fused train programs
+    the change measured NEUTRAL (flagship 9.31 vs 9.35, zoo within noise) —
+    XLA's fusion pipeline handles the transposes there.  Kept as the
+    canonical form for custom-VJP transposed products: never slower, and
+    robust to fusion-context changes."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def dot_t_right(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a @ b^T without materializing b^T (see dot_t_left)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dense propagation mode (MXU path)
 # ---------------------------------------------------------------------------
@@ -303,8 +324,6 @@ def _dense_spmm_bwd(res, g):
     # gradients, the standard mixed-precision contract.  The dmat cotangent
     # is exact but DCE'd by XLA in every live path (graphs are data, never
     # differentiated).
-    from mmssl_tpu.models.common import dot_t_left, dot_t_right
-
     mat, x = res
     gc = g.astype(mat.dtype)
     # Transpose-free contraction: an explicit mat.T is NOT folded into the
@@ -338,8 +357,6 @@ def _scaled_dense_spmm_bwd(res, g):
     # compute dtype (same mixed-precision contract as _dense_spmm_bwd).  The
     # dmat/dscale cotangents are exact but DCE'd in every live path (graphs
     # are data, never differentiated).
-    from mmssl_tpu.models.common import dot_t_left, dot_t_right
-
     mat, scale, x = res
     cm = mat.astype(jnp.bfloat16) if mat.dtype != jnp.float32 else mat
     sg = (g * scale[:, None]).astype(cm.dtype)

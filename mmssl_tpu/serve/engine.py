@@ -154,6 +154,7 @@ class RecommendEngine:
                 self._i_emb_sharded = shard_items(mesh, i_emb_p)
                 self._sharded_mesh = mesh
                 self._sharded_k: Dict[int, object] = {}
+                self._sharded_all: Dict = {}
 
     @classmethod
     def from_trainer(cls, trainer, batch_size: int = 1024, **kw) -> "RecommendEngine":
@@ -253,7 +254,7 @@ class RecommendEngine:
         if not return_scores:
             ids_dtype = jnp.int16 if self.n_items <= np.iinfo(np.int16).max else jnp.int32
         if self._i_emb_sharded is not None:
-            fn = self._sharded_all_for(k, None if return_scores else str(ids_dtype))
+            fn = self._sharded_all_for(k, ids_dtype)
             train = self.train_pad if exclude_train else jnp.full_like(self.train_pad, -1)
             out = np.asarray(fn(self.user_emb, self._i_emb_sharded, train, users_mat))
         else:
@@ -279,18 +280,14 @@ class RecommendEngine:
             )
         return self._sharded_k[k]
 
-    def _sharded_all_for(self, k: int, ids_key: Optional[str]):
+    def _sharded_all_for(self, k: int, ids_dtype):
         """Compiled catalog-sharded fused-retrieval program per (k, output
-        form); ids_key None = packed scores‖ids, else the ids dtype name."""
-        if not hasattr(self, "_sharded_all"):
-            self._sharded_all: Dict = {}
-        cache_key = (k, ids_key)
+        form); ids_dtype None = packed scores‖ids, else ids-only at that
+        width."""
+        cache_key = (k, ids_dtype)
         if cache_key not in self._sharded_all:
             from mmssl_tpu.parallel.eval_sharded import make_sharded_recommend_all
 
-            ids_dtype = None
-            if ids_key is not None:
-                ids_dtype = jnp.int16 if "int16" in ids_key else jnp.int32
             self._sharded_all[cache_key] = make_sharded_recommend_all(
                 self._sharded_mesh, k, n_items_real=self._n_items_real_sh,
                 ids_dtype=ids_dtype,

@@ -23,7 +23,13 @@ import optax
 from mmssl_tpu.config import ExperimentConfig
 from mmssl_tpu.losses.bpr import bpr_loss
 from mmssl_tpu.losses.contrastive import infonce
-from mmssl_tpu.models.cf import CFOutput, apply_lightgcn, apply_mf, apply_ngcf
+from mmssl_tpu.models.cf import (
+    CFOutput,
+    apply_lightgcn,
+    apply_mf,
+    apply_ngcf,
+    resolve_node_real,
+)
 from mmssl_tpu.models.common import resolve_dtype
 from mmssl_tpu.models.lattice import apply_lattice
 from mmssl_tpu.models.micro import ModalityAdj, apply_micro
@@ -113,8 +119,6 @@ def simple_train_step_impl(
             res = apply_lightgcn(params, consts.joint, cfg.model)
             u_emb, i_emb = res.user_emb, res.item_emb
         elif name == "ngcf":
-            from mmssl_tpu.models.cf import resolve_node_real
-
             res = apply_ngcf(
                 params, consts.joint, cfg.model, train=True, rng=r_fwd,
                 n_real=resolve_node_real(params, n_users_real, n_items_real),

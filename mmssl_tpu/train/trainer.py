@@ -223,7 +223,23 @@ class Trainer:
                     f"dataset has {self.ds.n_users} / {self.ds.n_items} — not restorable."
                 )
             template = self._to_portable(self.state)
-            pstate, extra = self.ckpt.restore(template, step)
+            try:
+                pstate, extra = self.ckpt.restore(template, step)
+            except Exception as e:
+                # Geometry differences are absorbed by the portable format,
+                # so a shape mismatch here means a CONFIG change altered
+                # state shapes (ADVICE r3: name the causes, hedged).
+                if "shape" in str(e).lower():
+                    raise RuntimeError(
+                        "portable checkpoint restore hit a shape mismatch. Mesh "
+                        "geometry cannot be the cause (portable checkpoints re-pad "
+                        "catalog tables); a config change likely altered state "
+                        "shapes — batch_size / densify_period / m_topk_rate change "
+                        "the densification buffer capacities, embed_size changes "
+                        "every table. Restore with the config the checkpoint was "
+                        "written under."
+                    ) from e
+                raise
             self.state = self._from_portable(pstate)
         else:
             # Legacy (pre-portable) checkpoint: the saved tables carry the

@@ -72,14 +72,7 @@ def train_step_flops(tr) -> Optional[float]:
     B = tr.cfg.data.batch_size
     users = jax.ShapeDtypeStruct((B,), jnp.int32)
     try:
-        cpu = jax.devices("cpu")[0]
-    except Exception:
-        cpu = None
-    import contextlib
-
-    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
-    try:
-        with ctx:
+        with _cpu_ctx():
             if tr.is_mmssl:
                 from mmssl_tpu.train.steps_mmssl import mmssl_train_step
 
@@ -172,6 +165,24 @@ def mmssl_step_flops_at_geometry(
     bench's Baby-scale TFLOP/step number without building the 19,445 x
     7,050 trainer (tests/test_flops.py).  Requires graph_impl='dense'."""
     assert cfg.model.graph_impl == "dense", "abstract lowering assumes dense graphs"
+    sds = jax.ShapeDtypeStruct
+    # The whole construction shares the siblings' error contract (log +
+    # return None — ADVICE-r3 style): an unknown graph_dtype (e.g. 'bit',
+    # which the MMSSL path rejects) must not escape as a raw KeyError.
+    try:
+        return _mmssl_step_flops_at_geometry(
+            cfg, n_users, n_items, feat_dims, max_deg, n_batch, sds
+        )
+    except Exception as e:
+        import sys
+        import traceback
+
+        print(f"mmssl_step_flops_at_geometry: failed ({e!r})", file=sys.stderr)
+        traceback.print_exc()
+        return None
+
+
+def _mmssl_step_flops_at_geometry(cfg, n_users, n_items, feat_dims, max_deg, n_batch, sds):
     from mmssl_tpu.models import init_discriminator, init_mmssl
     from mmssl_tpu.models.common import resolve_dtype
     from mmssl_tpu.ops.sparse import DenseGraph
@@ -186,7 +197,6 @@ def mmssl_step_flops_at_geometry(
         mmssl_train_step,
     )
 
-    sds = jax.ShapeDtypeStruct
     key = jax.random.key(0)
     params = jax.eval_shape(
         lambda k: init_mmssl(k, n_users, n_items, feat_dims, cfg.model), key
@@ -242,21 +252,13 @@ def mmssl_step_flops_at_geometry(
         step=sds((), jnp.int32),
     )
     users = sds((cfg.data.batch_size,), jnp.int32)
-    try:
-        with _cpu_ctx():
-            lowered = mmssl_train_step.lower(
-                state, consts, users, users, users, sds((), jnp.bool_),
-                cfg=cfg, g_opt=g_opt, d_opt=d_opt,
-                n_users=n_users, n_items=n_items, use_init_static=False,
-            )
-            return _lowered_flops(lowered)
-    except Exception as e:
-        import sys
-        import traceback
-
-        print(f"mmssl_step_flops_at_geometry: lowering failed ({e!r})", file=sys.stderr)
-        traceback.print_exc()
-        return None
+    with _cpu_ctx():
+        lowered = mmssl_train_step.lower(
+            state, consts, users, users, users, sds((), jnp.bool_),
+            cfg=cfg, g_opt=g_opt, d_opt=d_opt,
+            n_users=n_users, n_items=n_items, use_init_static=False,
+        )
+        return _lowered_flops(lowered)
 
 
 def mmssl_gemm_inventory_flops(cfg, n_users: int, n_items: int, n_modalities: int) -> float:

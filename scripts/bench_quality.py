@@ -136,21 +136,43 @@ def main():
 
     baseline_path = os.path.join(_ROOT, "scripts", "quality_baseline.json")
     if args.update_baseline:
+        # MERGE into the existing baseline: a partial run (e.g. `mmssl
+        # --update-baseline`) must not silently drop the other models from
+        # the gate.
+        models_out = {}
+        if os.path.exists(baseline_path):
+            with open(baseline_path) as f:
+                prev = json.load(f)
+            if prev.get("scale", args.scale) != args.scale:
+                log(f"bench_quality: baseline scale {prev.get('scale')} != "
+                    f"--scale {args.scale}; refusing to merge — delete the file "
+                    "to rebaseline at a new scale")
+                sys.exit(2)
+            models_out = dict(prev.get("models", {}))
+        models_out.update({
+            m: {"recall@20": r["recall@20"], "ndcg@20": r["ndcg@20"]}
+            for m, r in results.items()
+        })
         with open(baseline_path, "w") as f:
             json.dump(
                 {"scale": args.scale, "band": args.band,
                  "_source": "full-protocol measurement on the real chip via "
                             "scripts/bench_quality.py --update-baseline; refresh "
                             "only after an ACCEPTED quality change",
-                 "models": {m: {"recall@20": r["recall@20"], "ndcg@20": r["ndcg@20"]}
-                            for m, r in results.items()}},
+                 "models": models_out},
                 f, indent=2,
             )
-        log(f"bench_quality: baseline updated at {baseline_path}")
+        log(f"bench_quality: baseline updated at {baseline_path} "
+            f"({', '.join(sorted(results))})")
     if args.check:
         with open(baseline_path) as f:
             baseline = json.load(f)
-        band = args.band
+        if baseline.get("scale", "baby_scale") != args.scale:
+            log(f"bench_quality CHECK FAILED: baseline was recorded at scale "
+                f"{baseline.get('scale')}, this run is {args.scale} — numbers "
+                "are not comparable")
+            sys.exit(1)
+        band = args.band if args.band != 0.015 else baseline.get("band", args.band)
         failures = []
         for m, exp in baseline.get("models", {}).items():
             if m not in models:

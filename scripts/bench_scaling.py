@@ -156,7 +156,12 @@ def main() -> None:
         float(np.asarray(m)[-1, 0])
         step_ms = (time.time() - t0) / spd * 1000.0
         # Sharded eval: the whole val split as one dispatch + one fetch.
+        # Warm (compile) OUTSIDE the timed region — on a cold cache the
+        # first compile through a relay can take minutes.
         n_eval_users = len(tr.evaluator._splits["val"][2])
+        t0 = time.time()
+        _ = float(np.asarray(tr.evaluate("val")["recall"]).reshape(-1)[0])
+        log(f"bench_scaling[{mesh_shape}]: eval warmup {time.time() - t0:.1f}s")
         t0 = time.time()
         val = tr.evaluate("val")
         _ = float(np.asarray(val["recall"]).reshape(-1)[0])

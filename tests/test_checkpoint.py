@@ -238,3 +238,27 @@ def test_prng_impl_mismatch_is_actionable():
     rbg_template = {"rng": jax.random.key(0, impl="rbg")}
     with pytest.raises(ValueError, match="prng_impl"):
         _internalize(threefry_data, rbg_template)
+
+
+def test_portable_config_mismatch_is_hedged(tiny_dataset, tmp_path):
+    """A portable checkpoint restored under a CONFIG that changes state
+    shapes (densify_period changes buffer capacities) fails with an error
+    naming the config-change causes — not a raw orbax shape error, and not
+    a bogus mesh-geometry diagnosis (code-review r4)."""
+    import pytest
+
+    base = {
+        "data.batch_size": 16,
+        "model.embed_size": 16,
+        "train.m_topk_rate": 0.1,
+        "train.checkpoint_dir": str(tmp_path / "ckpt_cfg"),
+    }
+    cfg = preset("tiny", "mmssl", **{**base, "train.densify_period": 2})
+    tr = Trainer(cfg, dataset=tiny_dataset, logger=MetricLogger(quiet=True))
+    tr.train_batch(0)
+    tr.save_checkpoint(1, {"epoch": 0})
+
+    cfg2 = preset("tiny", "mmssl", **{**base, "train.densify_period": 3})
+    tr2 = Trainer(cfg2, dataset=tiny_dataset, logger=MetricLogger(quiet=True))
+    with pytest.raises(RuntimeError, match="config"):
+        tr2.resume()
