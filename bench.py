@@ -90,6 +90,12 @@ def get_config():
         "model.graph_dtype": "int8",
         "model.compute_dtype": "bfloat16",
         "train.d_moment_dtype": "bfloat16",
+        # bf16 discriminator tower weights (round 4): halves the l1 layer's
+        # parameter traffic in the Adam fusion and every tower pass —
+        # measured 9.31 -> 8.89 ms/step at Baby, 52.9 -> 49.6 at Sports,
+        # with the full convergence protocol BIT-IDENTICAL at R@20
+        # (0.15778 both ways; docs/performance.md).
+        "train.d_param_dtype": "bfloat16",
         "train.prng_impl": "rbg",
     })
 

@@ -204,6 +204,14 @@ class TrainConfig:
     # reference exactly; "bfloat16" halves the optimizer-state HBM traffic of
     # the biggest update fusion of the step — see train/optim.py).
     d_moment_dtype: str = "float32"
+    # Storage dtype of the discriminator TOWER weights (l1/l2/l3; BatchNorm
+    # params stay f32).  "bfloat16" halves the 50 MB (Baby) / 337 MB
+    # (Sports) l1 layer's parameter read+write in the Adam update fusion and
+    # its operand reads in every tower pass.  Unlike the moments, this
+    # rounds the WEIGHTS themselves each step (~3 decimal digits) — a real
+    # numerics change, gated by the quality protocol; measurement in
+    # docs/performance.md.  f32 default (reference parity).
+    d_param_dtype: str = "float32"
     # PRNG implementation for the training key ("threefry2x32" is JAX's
     # counter-based default; "rbg" lowers to the TPU-native RngBitGenerator
     # and removes ~2.2 ms/step of in-fusion threefry at Amazon-Baby scale —

@@ -356,6 +356,14 @@ class Trainer:
         # unpadded run), then zero-pad table rows to the mesh multiples.
         params = init_mmssl(self._split_rng(), ds.n_users, ds.n_items, self.feat_dims, cfg.model)
         d_params = init_discriminator(self._split_rng(), ds.n_items, cfg.model)
+        if cfg.train.d_param_dtype not in ("float32", "f32", ""):
+            # Tower weights stored low-precision (TrainConfig.d_param_dtype);
+            # BatchNorm params stay f32 (their stats math is f32 anyway and
+            # they are KBs).  Init at f32 then cast: identical RNG draws to
+            # an f32 run, rounded once.
+            ddt = jnp.dtype(cfg.train.d_param_dtype)
+            for lyr in ("l1", "l2", "l3"):
+                d_params[lyr] = {k: v.astype(ddt) for k, v in d_params[lyr].items()}
         if pu:
             params["user_emb"] = jnp.pad(params["user_emb"], ((0, pu), (0, 0)))
         if pi:

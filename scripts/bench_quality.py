@@ -62,7 +62,7 @@ def run(model: str, epochs: int, ds, scale: str = "baby_scale") -> dict:
             "data.batch_size": 1024,
             "model.graph_impl": "dense", "model.graph_dtype": "int8",
             "model.compute_dtype": "bfloat16", "train.d_moment_dtype": "bfloat16",
-            "train.prng_impl": "rbg",
+            "train.d_param_dtype": "bfloat16", "train.prng_impl": "rbg",
         })
     cfg = dataclasses.replace(
         base,
@@ -70,6 +70,15 @@ def run(model: str, epochs: int, ds, scale: str = "baby_scale") -> dict:
         train=dataclasses.replace(base.train, epochs=epochs, eval_every=1,
                                   early_stopping_patience=7),
     )
+    # Ad-hoc experiment overrides (same hook as bench_zoo), e.g.
+    #   MMSSL_BENCH_OVERRIDES="train.d_param_dtype=bfloat16" ... mmssl
+    ov = os.environ.get("MMSSL_BENCH_OVERRIDES", "")
+    if ov:
+        from mmssl_tpu.cli.main import _parse_overrides
+        from mmssl_tpu.config import _nested_replace
+
+        cfg = _nested_replace(cfg, _parse_overrides(ov.split(",")))
+        log(f"bench_quality[{model}]: overrides {ov}")
     tr = Trainer(cfg, dataset=ds, logger=MetricLogger(quiet=True))
     t0 = time.time()
     res = tr.fit()

@@ -111,6 +111,7 @@ def main() -> None:
         "model.graph_dtype": "int8",
         "model.compute_dtype": "bfloat16",
         "train.d_moment_dtype": "bfloat16",
+        "train.d_param_dtype": "bfloat16",
         "train.prng_impl": "rbg",
     }
     if args.embed:

@@ -105,6 +105,7 @@ def build_trainer(name: str):
             "model.graph_dtype": "int8",
             "model.compute_dtype": "bfloat16",
             "train.d_moment_dtype": "bfloat16",
+            "train.d_param_dtype": "bfloat16",
             "train.prng_impl": "rbg",
         })
     # Ad-hoc experiment overrides, e.g.

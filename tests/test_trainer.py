@@ -417,3 +417,31 @@ def test_effective_spd_offsets_graph_building_models(tiny_dataset):
     # MMSSL/CF models are unaffected by the offset.
     assert spd_for("mmssl", 105) == 35
     assert spd_for("lightgcn", 105) == 35
+
+
+def test_mmssl_bf16_d_params_train_and_checkpoint(tiny_dataset, tmp_path):
+    """train.d_param_dtype='bfloat16' (the round-4 fast-path knob): tower
+    weights are stored bf16 (BatchNorm stays f32), training steps/chunks
+    run finite, and the portable checkpoint roundtrips the dtype."""
+    import jax.numpy as jnp
+
+    kw = {
+        "train.m_topk_rate": 0.1,
+        "train.densify_period": 2,
+        "train.d_param_dtype": "bfloat16",
+        "train.d_moment_dtype": "bfloat16",
+        "train.checkpoint_dir": str(tmp_path / "ckpt_bf16d"),
+    }
+    tr = _mk_trainer(tiny_dataset, "mmssl", **kw)
+    assert tr.state.d_params["l1"]["w"].dtype == jnp.bfloat16
+    assert tr.state.d_params["bn1"]["gamma"].dtype == jnp.float32
+    for i in range(3):
+        m = np.asarray(tr.train_batch(i))
+        assert np.isfinite(m).all()
+    assert tr.state.d_params["l1"]["w"].dtype == jnp.bfloat16  # survives updates
+    tr.save_checkpoint(3, {"epoch": 0})
+    tr2 = _mk_trainer(tiny_dataset, "mmssl", **kw)
+    tr2.resume()
+    assert tr2.state.d_params["l1"]["w"].dtype == jnp.bfloat16
+    m = np.asarray(tr2.train_chunk(3, 2))
+    assert np.isfinite(m).all()
