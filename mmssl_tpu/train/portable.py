@@ -242,6 +242,61 @@ def _item_state_from_portable(item_state: Any, n_items: int, ni_pad: int) -> Any
     }
 
 
+def _resize_1d(x: jnp.ndarray, cap: int, fill) -> jnp.ndarray:
+    if x.shape[0] == cap:
+        return x
+    if x.shape[0] > cap:
+        return x[:cap]
+    return jnp.concatenate([x, jnp.full((cap - x.shape[0],), fill, x.dtype)])
+
+
+def mmssl_resize_capacity(
+    state: MMSSLTrainState, cap: int, n_users: int, n_items: int
+) -> MMSSLTrainState:
+    """Resize the PORTABLE state's densification buffers and modality-graph
+    COO arrays to capacity ``cap`` (capacity-elastic restore: batch_size /
+    densify_period / m_topk_rate changes alter ``graph_capacity``).  Exact
+    because live entries are front-packed ([0, count) for the buffers;
+    rebuilds mirror buffer positions) and everything beyond is padding —
+    growth appends padding, shrinkage is guarded by
+    :func:`mmssl_capacity_fits` (call it BEFORE shrinking restored data)."""
+
+    def graphs(d: dict, sentinel: int) -> dict:
+        return {
+            "rows": _resize_1d(d["rows"], cap, sentinel),
+            "cols": _resize_1d(d["cols"], cap, 0),
+            "vals": _resize_1d(d["vals"], cap, 0),
+        }
+
+    return state._replace(
+        mod_ui={m: graphs(g, n_users) for m, g in state.mod_ui.items()},
+        mod_iu={m: graphs(g, n_items) for m, g in state.mod_iu.items()},
+        buf_rows={m: _resize_1d(x, cap, 0) for m, x in state.buf_rows.items()},
+        buf_cols={m: _resize_1d(x, cap, 0) for m, x in state.buf_cols.items()},
+    )
+
+
+def mmssl_capacity_fits(
+    state: MMSSLTrainState, cap: int, n_users: int, n_items: int
+) -> "str | None":
+    """None if every live entry of the (portable) state fits in ``cap``,
+    else a description of what overflows.  Host-side fetches of replicated
+    scalars (multi-process-safe)."""
+    import jax
+
+    for m, c in state.buf_count.items():
+        n = int(jax.device_get(c))
+        if n > cap:
+            return f"accumulation buffer '{m}' holds {n} entries > capacity {cap}"
+    for name, tree, sentinel in (("mod_ui", state.mod_ui, n_users),
+                                 ("mod_iu", state.mod_iu, n_items)):
+        for m, g in tree.items():
+            nnz = int(jax.device_get(jnp.sum(g["rows"] < sentinel)))
+            if nnz > cap:
+                return f"densified graph {name}['{m}'] holds {nnz} entries > capacity {cap}"
+    return None
+
+
 def simple_to_portable(state: SimpleTrainState, n_users: int, n_items: int) -> SimpleTrainState:
     fu, fi = lambda x: _slice0(x, n_users), lambda x: _slice0(x, n_items)
     f = lambda t: _map_catalog_tables(t, fu, fi)

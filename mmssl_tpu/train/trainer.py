@@ -174,6 +174,14 @@ class Trainer:
                 "n_users": self.ds.n_users,
                 "n_items": self.ds.n_items,
             }
+            if self.is_mmssl:
+                # Enables capacity-ELASTIC restore under a changed
+                # batch_size / densify_period / m_topk_rate (train/portable.
+                # mmssl_resize_capacity): the restorer needs the writer's
+                # buffer capacity to build a matching orbax template.
+                extra["ckpt_geometry"]["graph_capacity"] = graph_capacity(
+                    self.cfg, self.ds.n_items, self.n_batch
+                )
             self.ckpt.save(step, self._to_portable(self.state), extra)
 
     def _to_portable(self, state):
@@ -223,6 +231,19 @@ class Trainer:
                     f"dataset has {self.ds.n_users} / {self.ds.n_items} — not restorable."
                 )
             template = self._to_portable(self.state)
+            saved_cap = geom.get("graph_capacity")
+            cur_cap = None
+            if self.is_mmssl and saved_cap:
+                from mmssl_tpu.train import portable as P
+
+                cur_cap = graph_capacity(self.cfg, self.ds.n_items, self.n_batch)
+                if saved_cap != cur_cap:
+                    # Capacity-elastic restore: build the template at the
+                    # WRITER's buffer capacity, restore, then resize to this
+                    # trainer's (growth pads; shrink is checked below).
+                    template = P.mmssl_resize_capacity(
+                        template, saved_cap, self.ds.n_users, self.ds.n_items
+                    )
             try:
                 pstate, extra = self.ckpt.restore(template, step)
             except Exception as e:
@@ -240,6 +261,25 @@ class Trainer:
                         "written under."
                     ) from e
                 raise
+            if cur_cap is not None and saved_cap != cur_cap:
+                from mmssl_tpu.train import portable as P
+
+                if cur_cap < saved_cap:
+                    overflow = P.mmssl_capacity_fits(
+                        pstate, cur_cap, self.ds.n_users, self.ds.n_items
+                    )
+                    if overflow:
+                        raise RuntimeError(
+                            f"checkpoint cannot shrink to this config's buffer "
+                            f"capacity ({saved_cap} -> {cur_cap}): {overflow}. "
+                            "Restore with a config whose graph_capacity covers the "
+                            "saved entries (larger batch_size/densify_period/"
+                            "m_topk_rate), or resume right after a densification "
+                            "rebuild when the buffers are near-empty."
+                        )
+                pstate = P.mmssl_resize_capacity(
+                    pstate, cur_cap, self.ds.n_users, self.ds.n_items
+                )
             self.state = self._from_portable(pstate)
         else:
             # Legacy (pre-portable) checkpoint: the saved tables carry the

@@ -240,25 +240,100 @@ def test_prng_impl_mismatch_is_actionable():
         _internalize(threefry_data, rbg_template)
 
 
+def test_capacity_elastic_restore(tiny_dataset, tmp_path):
+    """Capacity-ELASTIC restore (round 4): a checkpoint saved under one
+    batch_size/densify_period restores under another — graph_capacity
+    changes resize the densification buffers exactly (live entries are
+    front-packed; growth pads, shrink is overflow-checked)."""
+    base = {
+        "model.embed_size": 16,
+        "train.m_topk_rate": 0.2,
+        "train.checkpoint_dir": str(tmp_path / "ckpt_cap"),
+    }
+    cfg = preset("tiny", "mmssl", **{
+        **base, "data.batch_size": 16, "train.densify_period": 2,
+    })
+    tr = Trainer(cfg, dataset=tiny_dataset, logger=MetricLogger(quiet=True))
+    for idx in range(4):  # rebuild at idx 2, then one accumulating batch
+        tr.train_batch(idx)
+    assert tr._densified
+    saved_nnz = {
+        m: int((np.asarray(g.vals) != 0).sum()) for m, g in tr.state.mod_ui.items()
+    }
+    saved_counts = {m: int(c) for m, c in tr.state.buf_count.items()}
+    assert any(v > 0 for v in saved_nnz.values())
+    tr.save_checkpoint(4, {"epoch": 0})
+
+    # Different densify_period => larger graph_capacity (growth: always
+    # exact; a shrink below the live entries is the _actionable test below).
+    cfg2 = preset("tiny", "mmssl", **{
+        **base, "data.batch_size": 16, "train.densify_period": 4,
+    })
+    from mmssl_tpu.train.steps_mmssl import graph_capacity
+
+    tr2 = Trainer(cfg2, dataset=tiny_dataset, logger=MetricLogger(quiet=True))
+    assert graph_capacity(cfg2, tiny_dataset.n_items, tr2.n_batch) != graph_capacity(
+        cfg, tiny_dataset.n_items, tr.n_batch
+    )
+    tr2.resume()
+    assert tr2._densified
+    np.testing.assert_allclose(
+        np.asarray(tr2.state.params["user_emb"]), np.asarray(tr.state.params["user_emb"]),
+        rtol=1e-6,
+    )
+    # Every live densified-graph entry and buffer entry survived the resize.
+    for m in saved_nnz:
+        assert int((np.asarray(tr2.state.mod_ui[m].vals) != 0).sum()) == saved_nnz[m]
+        assert int(tr2.state.buf_count[m]) == saved_counts[m]
+    # Training continues under the new config.
+    assert np.isfinite(np.asarray(tr2.train_batch(0))).all()
+
+
+def test_capacity_shrink_overflow_is_actionable(tiny_dataset, tmp_path):
+    """Shrinking below the LIVE entry count refuses with an actionable
+    error instead of silently truncating accumulated densification data."""
+    import pytest
+
+    base = {
+        "model.embed_size": 16,
+        "train.m_topk_rate": 0.2,
+        "train.checkpoint_dir": str(tmp_path / "ckpt_shrink"),
+    }
+    cfg = preset("tiny", "mmssl", **{
+        **base, "data.batch_size": 16, "train.densify_period": 4,
+    })
+    tr = Trainer(cfg, dataset=tiny_dataset, logger=MetricLogger(quiet=True))
+    for idx in range(4):  # accumulate 3 batches, no rebuild yet (T=4)
+        tr.train_batch(idx)
+    assert max(int(c) for c in tr.state.buf_count.values()) > 0
+    tr.save_checkpoint(4, {"epoch": 0})
+
+    cfg2 = preset("tiny", "mmssl", **{
+        **base, "data.batch_size": 16, "train.densify_period": 1,
+    })
+    tr2 = Trainer(cfg2, dataset=tiny_dataset, logger=MetricLogger(quiet=True))
+    with pytest.raises(RuntimeError, match="shrink"):
+        tr2.resume()
+
+
 def test_portable_config_mismatch_is_hedged(tiny_dataset, tmp_path):
-    """A portable checkpoint restored under a CONFIG that changes state
-    shapes (densify_period changes buffer capacities) fails with an error
-    naming the config-change causes — not a raw orbax shape error, and not
-    a bogus mesh-geometry diagnosis (code-review r4)."""
+    """A portable checkpoint restored under a CONFIG that changes
+    non-elastic state shapes (embed_size changes every table width) fails
+    with an error naming the config-change causes — not a raw orbax shape
+    error, and not a bogus mesh-geometry diagnosis (code-review r4)."""
     import pytest
 
     base = {
         "data.batch_size": 16,
-        "model.embed_size": 16,
         "train.m_topk_rate": 0.1,
         "train.checkpoint_dir": str(tmp_path / "ckpt_cfg"),
     }
-    cfg = preset("tiny", "mmssl", **{**base, "train.densify_period": 2})
+    cfg = preset("tiny", "mmssl", **{**base, "model.embed_size": 16})
     tr = Trainer(cfg, dataset=tiny_dataset, logger=MetricLogger(quiet=True))
     tr.train_batch(0)
     tr.save_checkpoint(1, {"epoch": 0})
 
-    cfg2 = preset("tiny", "mmssl", **{**base, "train.densify_period": 3})
+    cfg2 = preset("tiny", "mmssl", **{**base, "model.embed_size": 32})
     tr2 = Trainer(cfg2, dataset=tiny_dataset, logger=MetricLogger(quiet=True))
     with pytest.raises(RuntimeError, match="config"):
         tr2.resume()
