@@ -280,20 +280,24 @@ def mmssl_capacity_fits(
     state: MMSSLTrainState, cap: int, n_users: int, n_items: int
 ) -> "str | None":
     """None if every live entry of the (portable) state fits in ``cap``,
-    else a description of what overflows.  Host-side fetches of replicated
-    scalars (multi-process-safe)."""
+    else a description of what overflows.  All counts ride ONE packed
+    device fetch (per-scalar fetches cost a full relay round-trip each,
+    CLAUDE.md); replicated values, multi-process-safe."""
     import jax
 
+    labels, vals = [], []
     for m, c in state.buf_count.items():
-        n = int(jax.device_get(c))
-        if n > cap:
-            return f"accumulation buffer '{m}' holds {n} entries > capacity {cap}"
+        labels.append(f"accumulation buffer '{m}'")
+        vals.append(jnp.asarray(c, jnp.int32))
     for name, tree, sentinel in (("mod_ui", state.mod_ui, n_users),
                                  ("mod_iu", state.mod_iu, n_items)):
         for m, g in tree.items():
-            nnz = int(jax.device_get(jnp.sum(g["rows"] < sentinel)))
-            if nnz > cap:
-                return f"densified graph {name}['{m}'] holds {nnz} entries > capacity {cap}"
+            labels.append(f"densified graph {name}['{m}']")
+            vals.append(jnp.sum(g["rows"] < sentinel).astype(jnp.int32))
+    counts = jax.device_get(jnp.stack(vals))
+    for label, n in zip(labels, counts):
+        if int(n) > cap:
+            return f"{label} holds {int(n)} entries > capacity {cap}"
     return None
 
 

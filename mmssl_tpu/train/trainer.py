@@ -249,16 +249,28 @@ class Trainer:
             except Exception as e:
                 # Geometry differences are absorbed by the portable format,
                 # so a shape mismatch here means a CONFIG change altered
-                # state shapes (ADVICE r3: name the causes, hedged).
+                # state shapes (ADVICE r3: name the causes, hedged — per
+                # model family, code-review r4).
                 if "shape" in str(e).lower():
+                    if self.is_mmssl:
+                        causes = (
+                            "embed_size changes every table; batch_size / "
+                            "densify_period / m_topk_rate changes are normally "
+                            "absorbed by the capacity-elastic path, so if you "
+                            "changed one of those this checkpoint likely predates "
+                            "the graph_capacity metadata"
+                        )
+                    else:
+                        causes = (
+                            "embed_size changes every table; knn_topk changes "
+                            "LATTICE/MICRO's carried item-graph capacity"
+                        )
                     raise RuntimeError(
                         "portable checkpoint restore hit a shape mismatch. Mesh "
                         "geometry cannot be the cause (portable checkpoints re-pad "
-                        "catalog tables); a config change likely altered state "
-                        "shapes — batch_size / densify_period / m_topk_rate change "
-                        "the densification buffer capacities, embed_size changes "
-                        "every table. Restore with the config the checkpoint was "
-                        "written under."
+                        f"catalog tables); a config change likely altered state "
+                        f"shapes — {causes}. Restore with the config the "
+                        "checkpoint was written under."
                     ) from e
                 raise
             if cur_cap is not None and saved_cap != cur_cap:

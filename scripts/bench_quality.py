@@ -108,7 +108,9 @@ def main():
                     help="gate against scripts/quality_baseline.json (exit 1 outside band)")
     ap.add_argument("--update-baseline", action="store_true",
                     help="write this run's numbers to scripts/quality_baseline.json")
-    ap.add_argument("--band", type=float, default=0.015)
+    ap.add_argument("--band", type=float, default=None,
+                    help="gate half-width (default: the committed baseline's band, "
+                         "else 0.015)")
     args = ap.parse_args()
     models = args.models or ["mf", "lightgcn", "lattice", "micro", "mmssl"]
     import bench
@@ -147,8 +149,10 @@ def main():
     if args.update_baseline:
         # MERGE into the existing baseline: a partial run (e.g. `mmssl
         # --update-baseline`) must not silently drop the other models from
-        # the gate.
+        # the gate, reset a deliberately customized band, or lose the
+        # provenance of when the numbers were recorded.
         models_out = {}
+        prev_band, prev_source = None, None
         if os.path.exists(baseline_path):
             with open(baseline_path) as f:
                 prev = json.load(f)
@@ -158,21 +162,27 @@ def main():
                     "to rebaseline at a new scale")
                 sys.exit(2)
             models_out = dict(prev.get("models", {}))
+            prev_band = prev.get("band")
+            prev_source = prev.get("_source")
         models_out.update({
             m: {"recall@20": r["recall@20"], "ndcg@20": r["ndcg@20"]}
             for m, r in results.items()
         })
+        band_out = args.band if args.band is not None else (prev_band or 0.015)
+        stamp = time.strftime("%Y-%m-%d")
+        source = (f"real-chip full-protocol measurement ({stamp}: "
+                  f"{', '.join(sorted(results))}) via bench_quality.py "
+                  "--update-baseline; refresh only after an ACCEPTED quality change")
+        if prev_source and set(models_out) != set(results):
+            source = f"{source}; previous: {prev_source[:200]}"
         with open(baseline_path, "w") as f:
             json.dump(
-                {"scale": args.scale, "band": args.band,
-                 "_source": "full-protocol measurement on the real chip via "
-                            "scripts/bench_quality.py --update-baseline; refresh "
-                            "only after an ACCEPTED quality change",
+                {"scale": args.scale, "band": band_out, "_source": source,
                  "models": models_out},
                 f, indent=2,
             )
         log(f"bench_quality: baseline updated at {baseline_path} "
-            f"({', '.join(sorted(results))})")
+            f"({', '.join(sorted(results))}, band {band_out})")
     if args.check:
         with open(baseline_path) as f:
             baseline = json.load(f)
@@ -181,7 +191,8 @@ def main():
                 f"{baseline.get('scale')}, this run is {args.scale} — numbers "
                 "are not comparable")
             sys.exit(1)
-        band = args.band if args.band != 0.015 else baseline.get("band", args.band)
+        # Explicit --band always wins; default = the baseline's own band.
+        band = args.band if args.band is not None else baseline.get("band", 0.015)
         failures = []
         for m, exp in baseline.get("models", {}).items():
             if m not in models:
