@@ -96,6 +96,12 @@ def get_config():
         # with the full convergence protocol BIT-IDENTICAL at R@20
         # (0.15778 both ways; docs/performance.md).
         "train.d_param_dtype": "bfloat16",
+        # One modality-dropout draw shared by the D-step and G-step forwards
+        # (round 4): narrows the dominant graph-engine GEMM stack from
+        # [d + 2Md] to [d + Md] — measured 8.92 -> 8.12 ms/step at Baby with
+        # the full convergence protocol inside run variance (R@20 0.15814 vs
+        # 0.15778 baseline; docs/performance.md).
+        "train.shared_fwd_draw": True,
         "train.prng_impl": "rbg",
     })
 

@@ -212,6 +212,16 @@ class TrainConfig:
     # numerics change, gated by the quality protocol; measurement in
     # docs/performance.md.  f32 default (reference parity).
     d_param_dtype: str = "float32"
+    # Share ONE modality-dropout draw between the per-batch D-step and
+    # G-step forwards (the reference runs two independent draws,
+    # MMSSL/main.py:339/363).  The fused forward then propagates a
+    # [d + M*d]-wide stack instead of [d + 2*M*d], cutting the dominant
+    # graph-engine GEMM width ~40% at Baby scale.  A real distributional
+    # change (the discriminator scores fake rows built from the exact
+    # draw the generator trains on that step), gated by the quality
+    # protocol like d_param_dtype; measurement in docs/performance.md.
+    # False default (reference parity).
+    shared_fwd_draw: bool = False
     # PRNG implementation for the training key ("threefry2x32" is JAX's
     # counter-based default; "rbg" lowers to the TPU-native RngBitGenerator
     # and removes ~2.2 ms/step of in-fusion threefry at Amazon-Baby scale —

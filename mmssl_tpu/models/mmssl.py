@@ -336,6 +336,7 @@ def mmssl_fused_forward(
     rng_g: jax.Array,
     train: bool = True,
     n_items_real: Optional[int] = None,
+    shared_draw: bool = False,
 ) -> MMSSLFusedOut:
     """Both per-batch forwards (D-step + G-step) as ONE propagation pass.
 
@@ -346,6 +347,13 @@ def mmssl_fused_forward(
     sliced back out.  Per-column-block segment sums are independent, so
     numerics are identical to separate propagation.  SpMM count per step
     drops from 8 wide scatters (2 draws x 2 directions + 2 layers x 2) to 4.
+
+    With ``shared_draw`` (TrainConfig.shared_fwd_draw) BOTH forwards reuse
+    the rng_d modality draw: the stack narrows from [d + 2*M*d] to
+    [d + M*d] and the d_*/g_* outputs alias the same arrays.  Numerically
+    identical to calling the unshared path with rng_g == rng_d; a
+    distributional change vs the reference's two independent draws
+    (quality-protocol gated — docs/performance.md).
     """
     assert cfg.n_ui_layers >= 1, "fused forward piggybacks on GCN layer 1"
     modalities = tuple(sorted(feats))
@@ -354,7 +362,7 @@ def mmssl_fused_forward(
     u_g, i_g, mm_user_id, mm_item_id = _id_attention_base(params, graphs, cfg, parity, modalities)
 
     stacked_d = _project_modalities(params, feats, cfg, train, rng_d)  # [n_items, Md]
-    stacked_g = _project_modalities(params, feats, cfg, train, rng_g)
+    stacked_g = None if shared_draw else _project_modalities(params, feats, cfg, train, rng_g)
 
     user_acc, item_acc = u_g, i_g
     i_cur = i_g
@@ -362,12 +370,16 @@ def mmssl_fused_forward(
     for layer in range(cfg.n_ui_layers):
         last = layer == cfg.n_ui_layers - 1
         if layer == 0:
-            wide_u = graphs.ui.spmm(jnp.concatenate([i_cur, stacked_d, stacked_g], axis=1))
-            u_nxt, uw_d, uw_g = wide_u[:, :d], wide_u[:, d : d + Md], wide_u[:, d + Md :]
+            blocks = [i_cur, stacked_d] if shared_draw else [i_cur, stacked_d, stacked_g]
+            wide_u = graphs.ui.spmm(jnp.concatenate(blocks, axis=1))
+            u_nxt, uw_d = wide_u[:, :d], wide_u[:, d : d + Md]
+            uw_g = uw_d if shared_draw else wide_u[:, d + Md :]
             if last and parity.softmax_last_gcn_layer:
                 u_nxt = jax.nn.softmax(u_nxt, axis=-1)
-            wide_i = graphs.iu.spmm(jnp.concatenate([u_nxt, uw_d, uw_g], axis=1))
-            i_nxt, iw_d, iw_g = wide_i[:, :d], wide_i[:, d : d + Md], wide_i[:, d + Md :]
+            blocks = [u_nxt, uw_d] if shared_draw else [u_nxt, uw_d, uw_g]
+            wide_i = graphs.iu.spmm(jnp.concatenate(blocks, axis=1))
+            i_nxt, iw_d = wide_i[:, :d], wide_i[:, d : d + Md]
+            iw_g = iw_d if shared_draw else wide_i[:, d + Md :]
             if last and parity.softmax_last_gcn_layer:
                 i_nxt = jax.nn.softmax(i_nxt, axis=-1)
         else:
@@ -384,15 +396,16 @@ def mmssl_fused_forward(
     def _split(wide):
         return {m: wide[:, i * d : (i + 1) * d] for i, m in enumerate(modalities)}
 
+    du, di = _split(uw_d), _split(iw_d)
     return MMSSLFusedOut(
         user_base=user_acc / (cfg.n_ui_layers + 1),
         item_base=_mask_pad_rows(item_acc / (cfg.n_ui_layers + 1), n_items_real),
         mm_user_id=mm_user_id,
         mm_item_id=mm_item_id,
-        d_user_feats=_split(uw_d),
-        d_item_feats=_split(iw_d),
-        g_user_feats=_split(uw_g),
-        g_item_feats=_split(iw_g),
+        d_user_feats=du,
+        d_item_feats=di,
+        g_user_feats=du if shared_draw else _split(uw_g),
+        g_item_feats=di if shared_draw else _split(iw_g),
     )
 
 

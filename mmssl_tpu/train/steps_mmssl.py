@@ -396,6 +396,7 @@ def mmssl_train_step_impl(
     fwd_fn = lambda p: mmssl_fused_forward(
         p, graphs, consts.feats, cfg.model, cfg.parity, r_fwd0, r_gfwd, train=True,
         n_items_real=n_items if items_padded else None,
+        shared_draw=cfg.train.shared_fwd_draw,
     )
     if cfg.train.remat:
         fwd_fn = jax.checkpoint(fwd_fn)

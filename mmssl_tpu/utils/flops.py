@@ -267,17 +267,20 @@ def mmssl_gemm_inventory_flops(cfg, n_users: int, n_items: int, n_modalities: in
     conservatively (second-order GP tower, l2/l3 layers, u_sim sweeps,
     losses, optimizer and elementwise work all EXCLUDED).
 
-      - graph engine: 4 dense-graph passes (forward ui/iu with the 2-draw
-        modality stack + CF block concatenated, plus the two transposed VJP
-        products) of [n_u, n_i] x [n_i, d*(2M+1)];
+      - graph engine: 4 dense-graph passes (forward ui/iu with the modality
+        stack + CF block concatenated, plus the two transposed VJP
+        products) of [n_u, n_i] x [n_i, d*(2M+1)] — or d*(M+1) under
+        train.shared_fwd_draw (ONE dropout draw rides both forwards);
       - discriminator l1 family: >= 6 first-order [B, n_items] x
         [n_items, n_items/4] passes (fake/real forwards, weight-grad dots,
         G-step input grad).
 
-    At the Baby bench geometry this evaluates to ~0.5 TFLOP vs XLA's
-    1.047 — a true lower bound with ~2x headroom."""
+    At the Baby bench geometry this evaluates to ~0.36 TFLOP (shared draw)
+    / ~0.51 (two draws) vs XLA's 0.897 / 1.047 — a true lower bound with
+    ~2x headroom either way."""
     d = cfg.model.embed_size
-    width = d * (2 * n_modalities + 1)
+    draws = 1 if cfg.train.shared_fwd_draw else 2
+    width = d * (draws * n_modalities + 1)
     graph = 4 * 2.0 * n_users * n_items * width
     h1 = max(n_items // 4, 1)
     disc = 6 * 2.0 * cfg.data.batch_size * n_items * h1

@@ -106,6 +106,7 @@ def build_trainer(name: str):
             "model.compute_dtype": "bfloat16",
             "train.d_moment_dtype": "bfloat16",
             "train.d_param_dtype": "bfloat16",
+            "train.shared_fwd_draw": True,
             "train.prng_impl": "rbg",
         })
     # Ad-hoc experiment overrides, e.g.

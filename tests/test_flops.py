@@ -1,12 +1,29 @@
 """FLOP accounting (utils/flops.py): XLA cost analysis of the benchmarked
 per-batch step program, for the MFU fields in the bench JSON lines."""
 
+import gc
+
+import jax
 import numpy as np
+import pytest
 
 from mmssl_tpu.config import preset
 from mmssl_tpu.train.trainer import Trainer
 from mmssl_tpu.utils.flops import mfu_fields, train_step_flops
 from mmssl_tpu.utils.logging import MetricLogger
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches_per_test():
+    """Per-FUNCTION executable clearing (same mitigation as
+    tests/test_trainer.py): the bench-geometry abstract lowerings in this
+    module are the LARGEST programs the suite traces, and carrying them as
+    live executables makes XLA-CPU's backend_compile_and_load abort in a
+    later module (observed: test_graft_entry's dryrun after this module in
+    one process)."""
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 def _trainer(tiny_dataset, model, **ov):
@@ -108,10 +125,15 @@ def test_bench_geometry_tflops_pinned():
     cfg = bench.get_config()
     inv = mmssl_gemm_inventory_flops(cfg, bench.N_USERS, bench.N_ITEMS,
                                      len(bench.FEAT_DIMS))
-    assert inv >= 0.45e12  # the documented ~0.5-0.6 TFLOP GEMM inventory
+    # ~0.36 TFLOP GEMM inventory with the shared-draw stack (bench default
+    # since round 4); ~0.5-0.6 with the reference's two draws.
+    assert inv >= (0.30e12 if cfg.train.shared_fwd_draw else 0.45e12)
     fl = mmssl_step_flops_at_geometry(
         cfg, bench.N_USERS, bench.N_ITEMS, bench.FEAT_DIMS, n_batch=105
     )
     assert fl is not None
     assert inv <= fl <= 3.0 * inv  # analytic bracket
-    assert 0.90e12 <= fl <= 1.20e12  # round-3 headline: 1.047 TFLOP/step
+    if cfg.train.shared_fwd_draw:
+        assert 0.80e12 <= fl <= 1.00e12  # round-4 headline: 0.897 TFLOP/step
+    else:
+        assert 0.90e12 <= fl <= 1.20e12  # two-draw program: 1.047 TFLOP/step

@@ -5,11 +5,27 @@ The round driver compile-checks ``entry()`` single-chip and executes
 round's multi-chip signal is lost, so keep them under test on the same
 8-virtual-device CPU backend the suite already runs on."""
 
+import gc
 import importlib.util
 import os
 
 import jax
 import jax.numpy as jnp
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches_per_test():
+    """Per-FUNCTION executable clearing (same mitigation as test_trainer /
+    test_flops): the dryrun compiles the largest per-test program set in
+    the suite, and XLA-CPU's backend_compile_and_load aborts when it runs
+    with too many live executables from preceding modules in the same
+    process."""
+    jax.clear_caches()
+    gc.collect()
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 def _load_graft_entry():

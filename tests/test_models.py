@@ -209,6 +209,29 @@ def test_mmssl_split_vjp_grad_equivalence(setup):
     )
 
 
+def test_mmssl_fused_forward_shared_draw_matches_equal_keys(setup):
+    """shared_draw=True (TrainConfig.shared_fwd_draw fast path) must equal
+    the unshared program fed the SAME key for both draws: the narrowed
+    [d + M*d] stack is the identical math with the duplicate columns
+    removed."""
+    from mmssl_tpu.models.mmssl import mmssl_fused_forward
+
+    _, ui, iu, _, feats, cfg = setup
+    params = init_mmssl(jax.random.key(3), N_USERS, N_ITEMS, FEAT_DIMS, cfg)
+    graphs = BipartiteGraphs(ui=ui, iu=iu, mod_ui={m: ui for m in feats}, mod_iu={m: iu for m in feats})
+    parity = ParityConfig()
+    k = jax.random.key(7)
+    ref = mmssl_fused_forward(params, graphs, feats, cfg, parity, k, k, train=True)
+    shared = mmssl_fused_forward(
+        params, graphs, feats, cfg, parity, k, jax.random.key(99), train=True, shared_draw=True
+    )
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(shared)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+    # The shared outputs really are one draw (d == g aliases).
+    for m in feats:
+        assert shared.d_user_feats[m] is shared.g_user_feats[m]
+
+
 def test_discriminator(setup):
     *_, cfg = setup
     n = 32

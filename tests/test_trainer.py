@@ -286,6 +286,30 @@ def test_mmssl_disc_fused_l1_matches_separate(tiny_dataset):
         np.testing.assert_allclose(m_on, m_off, rtol=5e-3, atol=1e-4)
 
 
+def test_mmssl_shared_fwd_draw(tiny_dataset):
+    """train.shared_fwd_draw (one modality-dropout draw for both per-batch
+    forwards): with drop_rate=0 the two draws are vacuous, so the narrowed
+    program must reproduce the default trajectory exactly; with real
+    dropout it must still train (the distributional change is gated by the
+    quality protocol, docs/performance.md)."""
+    kw = {"train.m_topk_rate": 0.1, "train.steps_per_dispatch": 0}
+    # drop_rate=0: shared vs unshared is pure program restructuring.
+    tr_off = _mk_trainer(tiny_dataset, "mmssl", **{**kw, "model.drop_rate": 0.0})
+    tr_on = _mk_trainer(
+        tiny_dataset, "mmssl",
+        **{**kw, "model.drop_rate": 0.0, "train.shared_fwd_draw": True},
+    )
+    assert tr_off.cfg.train.shared_fwd_draw is False  # reference-parity default
+    for idx in range(3):
+        m_off = np.asarray(tr_off.train_batch(idx))
+        m_on = np.asarray(tr_on.train_batch(idx))
+        np.testing.assert_allclose(m_on, m_off, rtol=5e-3, atol=1e-4)
+    # Real dropout: different distribution, must still optimize finitely.
+    tr = _mk_trainer(tiny_dataset, "mmssl", **{**kw, "train.shared_fwd_draw": True})
+    losses = [float(tr.train_batch(idx)[0]) for idx in range(3)]
+    assert np.isfinite(losses).all()
+
+
 def test_mmssl_disc_lowrank_auto_resolves_off(tiny_dataset):
     """'auto' resolves to 'off' (measured net-negative on TPU — see
     docs/performance.md); the resolved value is a static compile-time flag."""
