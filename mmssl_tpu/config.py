@@ -264,10 +264,12 @@ class TrainConfig:
     # end-to-end step cost; the sampling distribution is identical
     # (data/sampler_device.py).  fit() bends the actual chunk length to
     # minimize the per-batch epoch tail (Trainer._effective_spd).  Default
-    # 64: measured 9.32 vs 9.70 ms/step at Amazon-Baby scale over 32 (the
-    # per-chunk dispatch+fetch overhead halves; whole-epoch 105-step chunks
-    # measured 9.15 — docs/performance.md round 3).
-    steps_per_dispatch: int = 64
+    # 128 (round 4; was 64, before that 32 — each doubling halves the
+    # ~29 ms per-chunk dispatch+fetch overhead): whole-epoch 105-step
+    # chunks measure 7.95 vs 8.12 ms/step at Amazon-Baby scale, and a
+    # 128 cap lets Baby-class epochs fuse into ONE dispatch under
+    # _effective_spd (lax.scan compile time is length-independent).
+    steps_per_dispatch: int = 128
     # Rematerialize the fused forward in the generator VJP (jax.checkpoint):
     # trades one extra forward's FLOPs for dropping its residuals, for
     # catalogs where [n_users, (1+2M)d] activations pressure HBM.

@@ -789,11 +789,11 @@ class Trainer:
         (ADVICE r3: minimizing n_batch % c for those models produced a
         (n_batch-1) % c per-batch tail — 34 relay roundtrips per Baby
         epoch).  The largest zero-tail length (a divisor of the stream)
-        wins outright: Amazon-Baby MMSSL (stream=105, spd=64) bends to
-        35 — three fused dispatches, no tail; LATTICE bends to 52 (stream
-        104); Tiktok scale (stream 59 < spd) runs the WHOLE epoch as one
-        dispatch; prime streams pick the minimal-tail length (Sports-scale
-        227 -> 45, tail 2).  Per-step cost is unchanged (same scan body,
+        wins outright: at the round-4 default spd=128, Amazon-Baby MMSSL
+        (stream=105) and Tiktok scale (stream 59) run WHOLE epochs as one
+        dispatch; LATTICE at Baby bends to 104 (stream n_batch-1); prime
+        streams pick the minimal-tail length (Sports-scale 227 -> 113,
+        tail 1).  Per-step cost is unchanged (same scan body,
         different static length) and the densification cadence is computed
         from the carried within-epoch index, so chunk boundaries never
         change semantics.  Tiny epochs (cap < 32) keep the per-batch path

@@ -352,15 +352,18 @@ def test_simple_models_dense_joint(tiny_dataset, model):
 
 def test_mmssl_production_fast_path_stack(tiny_dataset):
     """The full production fast-path configuration benched by bench.py —
-    dense int8 graphs + bf16 compute + bf16 D moments + rbg PRNG + fused
-    dispatch — trains sanely: loss decreases epoch-over-epoch and eval is
-    finite.  Guards the benchmark configuration against quality regressions
-    that per-flag tests might miss in combination."""
+    dense int8 graphs + bf16 compute + bf16 D moments + bf16 D-tower
+    weights + shared forward draw + rbg PRNG + fused dispatch — trains
+    sanely: loss decreases epoch-over-epoch and eval is finite.  Guards
+    the benchmark configuration against quality regressions that per-flag
+    tests might miss in combination."""
     tr = _mk_trainer(tiny_dataset, "mmssl", **{
         "model.graph_impl": "dense",
         "model.graph_dtype": "int8",
         "model.compute_dtype": "bfloat16",
         "train.d_moment_dtype": "bfloat16",
+        "train.d_param_dtype": "bfloat16",
+        "train.shared_fwd_draw": True,
         "train.prng_impl": "rbg",
         "train.m_topk_rate": 0.1,
     })
@@ -409,6 +412,13 @@ def test_effective_spd_minimizes_epoch_tail(tiny_dataset):
     for n_batch, want in cases.items():
         tr.n_batch = n_batch
         assert tr._effective_spd() == want, (n_batch, tr._effective_spd())
+    # Round-4 default cap (spd=128): Baby-class epochs fuse WHOLE (105 in
+    # one dispatch, measured 7.95 vs 8.12 ms/step chunked), Sports' prime
+    # 227 bends to 113 with a 1-batch tail (was 45 with tail 2 at cap 64).
+    tr128 = _mk_trainer(tiny_dataset, "mf", **{"train.steps_per_dispatch": 128})
+    for n_batch, want in {105: 105, 227: 113, 59: 59, 256: 128}.items():
+        tr128.n_batch = n_batch
+        assert tr128._effective_spd() == want, (n_batch, tr128._effective_spd())
 
 
 def test_effective_spd_offsets_graph_building_models(tiny_dataset):
