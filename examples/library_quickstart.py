@@ -7,7 +7,15 @@ evaluation, and batch retrieval. Runs in ~1 minute on CPU:
     python examples/library_quickstart.py
 """
 
+import os
+import sys
 import tempfile
+
+# Runnable straight from a checkout (python examples/library_quickstart.py)
+# without an editable install: put the repo root on sys.path if needed.
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 import jax
 
