@@ -333,7 +333,7 @@ def mmssl_fused_forward(
     cfg: ModelConfig,
     parity: ParityConfig,
     rng_d: jax.Array,
-    rng_g: jax.Array,
+    rng_g: Optional[jax.Array],
     train: bool = True,
     n_items_real: Optional[int] = None,
     shared_draw: bool = False,
@@ -353,9 +353,17 @@ def mmssl_fused_forward(
     [d + M*d] and the d_*/g_* outputs alias the same arrays.  Numerically
     identical to calling the unshared path with rng_g == rng_d; a
     distributional change vs the reference's two independent draws
-    (quality-protocol gated — docs/performance.md).
+    (quality-protocol gated — docs/performance.md).  ``rng_g`` MUST be None
+    under shared_draw (a meaningful G key would be silently ignored —
+    ADVICE r4) and MUST be a key otherwise.
     """
     assert cfg.n_ui_layers >= 1, "fused forward piggybacks on GCN layer 1"
+    if shared_draw:
+        assert rng_g is None, (
+            "shared_draw=True reuses rng_d for both forwards; pass rng_g=None "
+            "(a separate G key would be silently ignored)")
+    else:
+        assert rng_g is not None, "unshared fused forward needs a G draw key"
     modalities = tuple(sorted(feats))
     d = cfg.embed_size
     Md = len(modalities) * d

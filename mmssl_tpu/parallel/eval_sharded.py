@@ -52,11 +52,22 @@ def _local_topk_merge(
     scores_masked: jnp.ndarray,  # [B, n_local] with exclusions at -inf
     offset: jnp.ndarray,  # scalar: this shard's first global item id
     k_max: int,
+    impl: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Local top-k + all-gather + exact merge (inside shard_map)."""
+    """Local top-k + all-gather + exact merge (inside shard_map).
+
+    ``impl='approx'`` runs the per-shard candidate selection with the
+    TPU-native ``jax.lax.approx_max_k`` (recall_target 0.95) instead of an
+    exact sort — the large-catalog serving shape (VERDICT r4 #6).  The merge
+    over the gathered [B, P*k] candidates stays exact, so every global
+    top-k element a shard's approx pass surfaces survives: the end-to-end
+    recall target equals the per-shard one."""
     n_local = scores_masked.shape[1]
     k_local = min(k_max, n_local)
-    vals, ids = jax.lax.top_k(scores_masked, k_local)
+    if impl == "approx" and k_local < n_local:
+        vals, ids = jax.lax.approx_max_k(scores_masked, k_local, recall_target=0.95)
+    else:
+        vals, ids = jax.lax.top_k(scores_masked, k_local)
     ids = ids + offset  # globalize
     all_vals = jax.lax.all_gather(vals, MODEL_AXIS, axis=1, tiled=True)  # [B, P*k]
     all_ids = jax.lax.all_gather(ids, MODEL_AXIS, axis=1, tiled=True)
@@ -76,6 +87,7 @@ def _local_eval_batch(
     k_max: int,
     n_items_real: "int | None",
     full_auc: bool,
+    impl: str = "exact",
 ):
     """Per-shard scoring -> (top-k merge[, per-user AUC]); runs inside
     shard_map over the model axis, all outputs replicated."""
@@ -98,7 +110,7 @@ def _local_eval_batch(
         excluded = excluded | ((offset + jnp.arange(n_local)) >= n_items_real)[None, :]
 
     masked = jnp.where(excluded, -jnp.inf, scores)
-    m_vals, m_ids = _local_topk_merge(masked, offset, k_max)
+    m_vals, m_ids = _local_topk_merge(masked, offset, k_max, impl=impl)
     if not full_auc:
         return m_vals, m_ids
 
@@ -139,7 +151,8 @@ def _local_eval_batch(
     return m_vals, m_ids, auc
 
 
-def make_sharded_topk(mesh: Mesh, k_max: int, n_items_real: "int | None" = None):
+def make_sharded_topk(mesh: Mesh, k_max: int, n_items_real: "int | None" = None,
+                      impl: str = "exact"):
     """Returns topk(u_rows [B, d], i_emb [n_items, d], u_train [B, max_deg])
     -> (vals [B, k_max], ids [B, k_max]); i_emb sharded on rows over
     MODEL_AXIS, u_rows/u_train replicated.  u_train lists the items to
@@ -149,14 +162,17 @@ def make_sharded_topk(mesh: Mesh, k_max: int, n_items_real: "int | None" = None)
     multiple (zero pad rows appended so odd catalogs still shard), items with
     global index >= n_items_real are masked to -inf — one compare+select on
     the local score block — so pad items can never be recommended and the
-    result equals the unpadded computation."""
+    result equals the unpadded computation.
+
+    ``impl='approx'``: per-shard ``approx_max_k`` candidates, exact merge
+    (see _local_topk_merge) — recall >= the 0.95 per-shard target."""
 
     def _local(u_rows, i_shard, u_train):
         dummy_pos = jnp.full((u_rows.shape[0], 1), -1, jnp.int32)
         dummy_cnt = jnp.zeros((u_rows.shape[0],), jnp.int32)
         return _local_eval_batch(
             u_rows, i_shard, u_train, dummy_pos, dummy_cnt,
-            k_max=k_max, n_items_real=n_items_real, full_auc=False,
+            k_max=k_max, n_items_real=n_items_real, full_auc=False, impl=impl,
         )
 
     fn = shard_map(
@@ -229,6 +245,7 @@ def make_sharded_recommend_all(
     k_max: int,
     n_items_real: "int | None" = None,
     ids_dtype=None,
+    impl: str = "exact",
 ):
     """Fused OFFLINE retrieval on the catalog-sharded mesh (serve/engine.py
     ``recommend_all`` under SPMD): lax.scan over request batches of the
@@ -239,14 +256,16 @@ def make_sharded_recommend_all(
     Returns fn(u_emb [n_users, d] replicated, i_emb [n_items_pad, d] row-
     sharded, train_pad [n_users, max_deg] replicated (-1 rows disable
     exclusion), users_mat [n_chunks, B]) -> packed [n_chunks, B, 2*k_max]
-    f32 (scores ‖ ids), or ids-only at ``ids_dtype`` when given."""
+    f32 (scores ‖ ids), or ids-only at ``ids_dtype`` when given.
+
+    ``impl='approx'``: per-shard ``approx_max_k`` candidates, exact merge."""
 
     def _local(u_rows, i_shard, u_train):
         dummy_pos = jnp.full((u_rows.shape[0], 1), -1, jnp.int32)
         dummy_cnt = jnp.zeros((u_rows.shape[0],), jnp.int32)
         return _local_eval_batch(
             u_rows, i_shard, u_train, dummy_pos, dummy_cnt,
-            k_max=k_max, n_items_real=n_items_real, full_auc=False,
+            k_max=k_max, n_items_real=n_items_real, full_auc=False, impl=impl,
         )
 
     smapped = shard_map(

@@ -123,8 +123,11 @@ class RecommendEngine:
         train_pad: Optional[np.ndarray] = None,  # int32 [n_users, max_deg], -1 pad
         batch_size: int = 1024,
         mesh=None,
-        topk_impl: str = "exact",  # exact | approx (lax.approx_max_k, single-device path)
+        topk_impl: str = "exact",  # exact | approx (lax.approx_max_k; on a mesh:
+        # per-shard approx candidates + exact merge, recall >= the 0.95 target)
     ):
+        if topk_impl not in ("exact", "approx"):
+            raise ValueError(f"topk_impl must be 'exact' or 'approx', got {topk_impl!r}")
         self.topk_impl = topk_impl
         self.user_emb = jnp.asarray(user_emb)
         self.item_emb = jnp.asarray(item_emb)
@@ -276,7 +279,8 @@ class RecommendEngine:
             from mmssl_tpu.parallel.eval_sharded import make_sharded_topk
 
             self._sharded_k[k] = make_sharded_topk(
-                self._sharded_mesh, k, n_items_real=self._n_items_real_sh
+                self._sharded_mesh, k, n_items_real=self._n_items_real_sh,
+                impl=self.topk_impl,
             )
         return self._sharded_k[k]
 
@@ -290,7 +294,7 @@ class RecommendEngine:
 
             self._sharded_all[cache_key] = make_sharded_recommend_all(
                 self._sharded_mesh, k, n_items_real=self._n_items_real_sh,
-                ids_dtype=ids_dtype,
+                ids_dtype=ids_dtype, impl=self.topk_impl,
             )
         return self._sharded_all[cache_key]
 

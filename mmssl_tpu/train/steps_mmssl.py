@@ -393,8 +393,12 @@ def mmssl_train_step_impl(
     # determinism and the modality branches differ only in the dropout
     # draw).  The G step pulls its gradients back through fwd_vjp; the D
     # step consumes the primals as constants.
+    # r_gfwd stays in the 8-way split to keep the rng stream layout (and so
+    # every other key) identical across the shared_fwd_draw settings; under
+    # shared_draw the fused forward requires rng_g=None (the draw is rng_d's).
     fwd_fn = lambda p: mmssl_fused_forward(
-        p, graphs, consts.feats, cfg.model, cfg.parity, r_fwd0, r_gfwd, train=True,
+        p, graphs, consts.feats, cfg.model, cfg.parity, r_fwd0,
+        None if cfg.train.shared_fwd_draw else r_gfwd, train=True,
         n_items_real=n_items if items_padded else None,
         shared_draw=cfg.train.shared_fwd_draw,
     )

@@ -108,13 +108,21 @@ def simple_train_step_impl(
             # as the bulk of MICRO's 24 ms step); remat re-runs two thin
             # GEMMs instead.  dtype: bf16 GEMM inputs under compute_dtype.
             cdt = resolve_dtype(cfg.model.compute_dtype)
-            nce = jax.checkpoint(
-                lambda x, y: infonce(x, y, t.cl_tau, eps=0.0, dtype=cdt,
-                                     n_real=n_items_real)
-            )
-            for m in sorted(consts.feats):
-                cl = cl + nce(out.mm_item_embeds[m], out.fusion)
-            cl = cl * t.loss_ratio
+            # Static skip at loss_ratio == 0: the weight is a Python float,
+            # so a zero weight removes the O(n_items^2) InfoNCE GEMMs from
+            # the program entirely (the multiply-by-zero form still computes
+            # and reduces both [n, n] similarity matrices — XLA does not DCE
+            # through the remat barrier).  Also makes the
+            # `train.loss_ratio=0` bench override a TRUE compute ablation
+            # (docs/performance.md MICRO attribution).
+            if t.loss_ratio != 0.0:
+                nce = jax.checkpoint(
+                    lambda x, y: infonce(x, y, t.cl_tau, eps=0.0, dtype=cdt,
+                                         n_real=n_items_real)
+                )
+                for m in sorted(consts.feats):
+                    cl = cl + nce(out.mm_item_embeds[m], out.fusion)
+                cl = cl * t.loss_ratio
         elif name == "lightgcn":
             res = apply_lightgcn(params, consts.joint, cfg.model)
             u_emb, i_emb = res.user_emb, res.item_emb

@@ -46,7 +46,8 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def run(model: str, epochs: int, ds, scale: str = "baby_scale") -> dict:
+def run(model: str, epochs: int, ds, scale: str = "baby_scale",
+        seed: int | None = None) -> dict:
     import dataclasses
 
     import bench
@@ -68,7 +69,8 @@ def run(model: str, epochs: int, ds, scale: str = "baby_scale") -> dict:
         base,
         model=dataclasses.replace(base.model, name=model, micro_sparse=False),
         train=dataclasses.replace(base.train, epochs=epochs, eval_every=1,
-                                  early_stopping_patience=7),
+                                  early_stopping_patience=7,
+                                  **({"seed": seed} if seed is not None else {})),
     )
     # Ad-hoc experiment overrides (same hook as bench_zoo), e.g.
     #   MMSSL_BENCH_OVERRIDES="train.d_param_dtype=bfloat16" ... mmssl
@@ -109,9 +111,15 @@ def main():
     ap.add_argument("--update-baseline", action="store_true",
                     help="write this run's numbers to scripts/quality_baseline.json")
     ap.add_argument("--band", type=float, default=None,
-                    help="gate half-width (default: the committed baseline's band, "
-                         "else 0.015)")
+                    help="gate half-width (default: per-model calibrated band from "
+                         "the committed baseline, else its global band, else 0.015)")
+    ap.add_argument("--seeds", default=None,
+                    help="comma-separated train seeds; each model runs the full "
+                         "protocol once per seed and is gated/recorded on the "
+                         "MEDIAN test R@20 (VERDICT r4 #3: medians let the bands "
+                         "tighten ~2x vs single-seed). Default: the config seed")
     args = ap.parse_args()
+    seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds else [None])
     models = args.models or ["mf", "lightgcn", "lattice", "micro", "mmssl"]
     import bench
 
@@ -138,10 +146,34 @@ def main():
     results = {}
     for m in models:
         try:
-            out = run(m, args.epochs, ds, args.scale)
-            log(f"bench_quality[{m}]: {out}")
-            print(json.dumps(out), flush=True)
-            results[m] = out
+            per_seed = []
+            for seed in seeds:
+                out = run(m, args.epochs, ds, args.scale, seed=seed)
+                if seed is not None:
+                    out["seed"] = seed
+                log(f"bench_quality[{m}]: {out}")
+                print(json.dumps(out), flush=True)
+                per_seed.append(out)
+            if len(per_seed) == 1:
+                results[m] = per_seed[0]
+            else:
+                # Gate/record the MEDIAN run (per-metric medians; with an odd
+                # seed count the recall median is an actual run's value).
+                recalls = sorted(r["recall@20"] for r in per_seed)
+                ndcgs = sorted(r["ndcg@20"] for r in per_seed)
+                mid = len(per_seed) // 2
+                agg = dict(per_seed[0])
+                agg.update({
+                    "recall@20": recalls[mid], "ndcg@20": ndcgs[mid],
+                    "seeds": [s for s in seeds],
+                    "recall@20_per_seed": [r["recall@20"] for r in per_seed],
+                    "recall@20_spread": round(recalls[-1] - recalls[0], 5),
+                })
+                agg.pop("seed", None)
+                log(f"bench_quality[{m}] median-of-{len(per_seed)}: "
+                    f"R@20 {agg['recall@20']} spread {agg['recall@20_spread']}")
+                print(json.dumps(agg), flush=True)
+                results[m] = agg
         except Exception as e:
             print(json.dumps({"model": m, "error": repr(e)[:200]}), flush=True)
 
@@ -164,10 +196,17 @@ def main():
             models_out = dict(prev.get("models", {}))
             prev_band = prev.get("band")
             prev_source = prev.get("_source")
-        models_out.update({
-            m: {"recall@20": r["recall@20"], "ndcg@20": r["ndcg@20"]}
-            for m, r in results.items()
-        })
+        for m, r in results.items():
+            entry = {"recall@20": r["recall@20"], "ndcg@20": r["ndcg@20"]}
+            if "recall@20_spread" in r:
+                # Per-model calibrated band (VERDICT r4 #3): 1.5x the measured
+                # seed spread of the median protocol, floored at 0.005 (just
+                # above the +/-0.003 cadence/run variance) — much tighter than
+                # the old flat 0.015 wherever the model is stable.
+                entry["band"] = max(0.005, round(1.5 * r["recall@20_spread"], 5))
+                entry["seeds"] = r["seeds"]
+                entry["recall@20_per_seed"] = r["recall@20_per_seed"]
+            models_out[m] = entry
         band_out = args.band if args.band is not None else (prev_band or 0.015)
         stamp = time.strftime("%Y-%m-%d")
         source = (f"real-chip full-protocol measurement ({stamp}: "
@@ -175,10 +214,22 @@ def main():
                   "--update-baseline; refresh only after an ACCEPTED quality change")
         if prev_source and set(models_out) != set(results):
             source = f"{source}; previous: {prev_source[:200]}"
+        # Record the knob configuration the numbers were measured under so a
+        # future parity-default --check cannot be misread (ADVICE r4 #2).
+        import bench as _bench
+
+        _bcfg = _bench.get_config()
+        benched = (f"shared_fwd_draw={_bcfg.train.shared_fwd_draw}, "
+                   f"d_param_dtype={_bcfg.train.d_param_dtype}, "
+                   f"graph_dtype={_bcfg.model.graph_dtype}, "
+                   f"compute_dtype={_bcfg.model.compute_dtype}")
+        ov = os.environ.get("MMSSL_BENCH_OVERRIDES", "")
+        if ov:
+            benched += f"; MMSSL_BENCH_OVERRIDES={ov}"
         with open(baseline_path, "w") as f:
             json.dump(
                 {"scale": args.scale, "band": band_out, "_source": source,
-                 "models": models_out},
+                 "_benched_config": benched, "models": models_out},
                 f, indent=2,
             )
         log(f"bench_quality: baseline updated at {baseline_path} "
@@ -191,12 +242,14 @@ def main():
                 f"{baseline.get('scale')}, this run is {args.scale} — numbers "
                 "are not comparable")
             sys.exit(1)
-        # Explicit --band always wins; default = the baseline's own band.
-        band = args.band if args.band is not None else baseline.get("band", 0.015)
         failures = []
         for m, exp in baseline.get("models", {}).items():
             if m not in models:
                 continue  # only gate the models this invocation ran
+            # Explicit --band always wins; else the model's calibrated band
+            # (recorded by a multi-seed --update-baseline); else the global.
+            band = (args.band if args.band is not None
+                    else exp.get("band", baseline.get("band", 0.015)))
             got = results.get(m)
             if got is None or got.get("recall@20") is None:
                 failures.append(f"{m}: protocol failed to produce a test R@20")

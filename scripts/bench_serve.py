@@ -35,18 +35,56 @@ def log(msg):
 
 
 def main() -> None:
+    import argparse
+
     import bench
     from mmssl_tpu.serve import RecommendEngine
 
-    ds = bench.get_dataset()
-    log(f"bench_serve: {ds.stats_str()}")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="baby", choices=["baby", "sports", "netflix"],
+                    help="catalog geometry (sports/netflix: synthetic tables at "
+                         "the published/large geometry — the regime where "
+                         "topk_impl matters)")
+    ap.add_argument("--impl", default="exact", choices=["exact", "approx"],
+                    help="top-k kernel (approx = lax.approx_max_k, "
+                         "recall_target 0.95; VERDICT r4 #6 measurement)")
+    args = ap.parse_args()
+
     d, k = 64, 20
     key = jax.random.key(0)
-    u_emb = jax.random.normal(jax.random.fold_in(key, 0), (ds.n_users, d), jnp.float32)
-    i_emb = jax.random.normal(jax.random.fold_in(key, 1), (ds.n_items, d), jnp.float32)
-    train_pad, _ = ds.padded_split("train")
-    eng = RecommendEngine(u_emb, i_emb, train_pad=train_pad, batch_size=2048)
-    users = list(range(ds.n_users))
+    if args.scale == "baby":
+        ds = bench.get_dataset()
+        log(f"bench_serve: {ds.stats_str()}")
+        n_users, n_items = ds.n_users, ds.n_items
+        train_pad, _ = ds.padded_split("train")
+    else:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import bench_zoo
+
+        spec = bench_zoo.SPORTS if args.scale == "sports" else bench_zoo.NETFLIX
+        n_users, n_items = spec["n_users"], spec["n_items"]
+        log(f"bench_serve: synthetic {args.scale} tables {n_users}x{n_items}")
+        train_pad = np.full((n_users, 1), -1, dtype=np.int32)  # timing is content-free
+    u_emb = jax.random.normal(jax.random.fold_in(key, 0), (n_users, d), jnp.float32)
+    i_emb = jax.random.normal(jax.random.fold_in(key, 1), (n_items, d), jnp.float32)
+    eng = RecommendEngine(u_emb, i_emb, train_pad=train_pad, batch_size=2048,
+                          topk_impl=args.impl)
+    users = list(range(n_users))
+
+    if args.impl == "approx":
+        # Recall vs the exact ranking on a slice (the approx path's quality
+        # number next to its throughput number).
+        exact_eng = RecommendEngine(u_emb, i_emb, train_pad=train_pad,
+                                    batch_size=2048)
+        probe = users[:2048]
+        ids_ex, _ = exact_eng.recommend(probe, k=k)
+        ids_ap, _ = eng.recommend(probe, k=k)
+        recall = float(np.mean([
+            len(set(ids_ap[i]) & set(ids_ex[i])) / k for i in range(len(probe))
+        ]))
+        log(f"bench_serve: approx recall@{k} vs exact = {recall:.4f}")
+    else:
+        recall = None
 
     t0 = time.time()
     ids_a, _ = eng.recommend_all(k=k)
@@ -55,7 +93,7 @@ def main() -> None:
     t0 = time.time()
     for _ in range(reps):
         ids_a, _ = eng.recommend_all(k=k)
-    fused_ups = ds.n_users / ((time.time() - t0) / reps)
+    fused_ups = n_users / ((time.time() - t0) / reps)
     log(f"bench_serve: fused ids+scores {fused_ups:,.0f} users/s")
 
     # Candidate-generation shape: ids only, narrowest integer fetch.
@@ -65,7 +103,7 @@ def main() -> None:
     t0 = time.time()
     for _ in range(reps):
         ids_i, _ = eng.recommend_all(k=k, return_scores=False)
-    ids_ups = ds.n_users / ((time.time() - t0) / reps)
+    ids_ups = n_users / ((time.time() - t0) / reps)
     log(f"bench_serve: fused ids-only {ids_ups:,.0f} users/s")
     assert np.array_equal(ids_a, ids_i), "ids-only path disagrees"
 
@@ -74,14 +112,18 @@ def main() -> None:
     log(f"bench_serve: request-path warmup (incl. compile) {time.time()-t0:.1f}s")
     t0 = time.time()
     ids_r, _ = eng.recommend(users, k=k)
-    req_ups = ds.n_users / (time.time() - t0)
+    req_ups = n_users / (time.time() - t0)
     log(f"bench_serve: request path {req_ups:,.0f} users/s")
-    assert np.array_equal(ids_a, ids_r), "fused and request paths disagree"
+    if args.impl == "exact":
+        assert np.array_equal(ids_a, ids_r), "fused and request paths disagree"
 
     print(json.dumps({
         "metric": "serve_users_per_sec",
         "value": round(ids_ups, 1),
         "unit": "users/s",
+        "scale": args.scale,
+        "impl": args.impl,
+        **({"approx_recall_vs_exact": round(recall, 4)} if recall is not None else {}),
         "fused_with_scores_users_per_sec": round(fused_ups, 1),
         "request_path_users_per_sec": round(req_ups, 1),
         "fused_speedup": round(ids_ups / req_ups, 2),

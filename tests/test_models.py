@@ -213,7 +213,8 @@ def test_mmssl_fused_forward_shared_draw_matches_equal_keys(setup):
     """shared_draw=True (TrainConfig.shared_fwd_draw fast path) must equal
     the unshared program fed the SAME key for both draws: the narrowed
     [d + M*d] stack is the identical math with the duplicate columns
-    removed."""
+    removed.  rng_g must be None under shared_draw (and a key otherwise) —
+    a meaningful G key would be silently ignored (ADVICE r4)."""
     from mmssl_tpu.models.mmssl import mmssl_fused_forward
 
     _, ui, iu, _, feats, cfg = setup
@@ -223,13 +224,19 @@ def test_mmssl_fused_forward_shared_draw_matches_equal_keys(setup):
     k = jax.random.key(7)
     ref = mmssl_fused_forward(params, graphs, feats, cfg, parity, k, k, train=True)
     shared = mmssl_fused_forward(
-        params, graphs, feats, cfg, parity, k, jax.random.key(99), train=True, shared_draw=True
+        params, graphs, feats, cfg, parity, k, None, train=True, shared_draw=True
     )
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(shared)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
     # The shared outputs really are one draw (d == g aliases).
     for m in feats:
         assert shared.d_user_feats[m] is shared.g_user_feats[m]
+    # The ignored-key and missing-key misuses are refused, not silent.
+    with pytest.raises(AssertionError, match="rng_g=None"):
+        mmssl_fused_forward(params, graphs, feats, cfg, parity, k,
+                            jax.random.key(99), train=True, shared_draw=True)
+    with pytest.raises(AssertionError, match="needs a G draw key"):
+        mmssl_fused_forward(params, graphs, feats, cfg, parity, k, None, train=True)
 
 
 def test_discriminator(setup):

@@ -1,24 +1,35 @@
-"""Quality regression gate (VERDICT r3 #2a).
+"""Quality regression gate (VERDICT r3 #2a, tightened per VERDICT r4 #3).
 
 Every model trains its FULL protocol — per-epoch validation, model selection
 on val Recall@20, early stopping, test-on-improvement (the reference's
 protocol, ``MMSSL/main.py:483-493``) — on a fixed clustered synthetic
-dataset, on CPU, inside the test suite.  Asserts each model's test R@20
-inside a seed-measured band and the model-family ordering of the
-reference's published table (``/root/reference/README.md:119-142``:
-multimodal > CF-only).
+dataset, on CPU, inside the test suite, once per seed in ``SEEDS``; the
+gated statistic is the MEDIAN test R@20 over the three seeds.  Asserts each
+model's median inside a seed-calibrated band and the model-family ordering
+of the reference's published table
+(``/root/reference/README.md:119-142``: multimodal > CF-only).
 
 Why this exists: the MICRO ``loss_ratio`` parity bug (our default 1.0 vs
 the reference's 0.03) cost ~2.2 points of R@20 and was only caught by a
-manual chip run of scripts/bench_quality.py.  This gate fails in CI for
-that class of bug: re-introducing loss_ratio=1.0 drops MICRO's R@20 here
-from ~0.36 to ~0.19, far outside the band.
+manual chip run of scripts/bench_quality.py.  The r4 single-seed gate used
+a flat +/-0.05 band; medians over three seeds cut the run-to-run spread
+and let the bands tighten to per-model values calibrated at 1.25x the
+measured 3-seed spread (floored at 0.015) — 0.016 for the flagship, vs
+the published MMSSL-vs-LATTICE separation of ~0.013 absolute on Baby
+(``README.md:136-140``).  ``test_injected_regressions_fail_the_band``
+proves by construction that these bands catch knob-level quality bugs
+(model_cat_rate=0 at -0.030, cl_rate 10x at -0.020, loss_ratio=1.0 at
+-0.130), not just the 0.17-magnitude class.  A sub-band (<0.016) shift
+remains invisible — that is the honest floor of a 400x200 synthetic
+protocol; the chip gate (scripts/bench_quality.py --seeds) carries the
+same per-model-band design at production scale.
 
-Band calibration (2026-08-21, CPU, fixed dataset seed 11): per-model
-test R@20 across train seeds {2022, 7, 123} spreads at most 0.045 (MF);
-the asserted band is centre +/- 0.05.  At the models' preset seeds the
-centres are MF 0.3075 / LightGCN 0.3550 / LATTICE 0.3550 / MICRO 0.3625 /
-MMSSL 0.3725, and each run is deterministic given the seed.
+Band calibration (2026-08-21, CPU, dataset seed 11, train seeds
+{2022, 7, 123}, epochs 30 / patience 7, /tmp/calibrate_gate.py method):
+per-seed R@20 spreads: mf 0.045 (an honest outlier seed — MF is the
+high-variance baseline and not what the gate protects), lightgcn 0.0025,
+lattice 0.0175, micro 0.0225, mmssl 0.0125.  Each run is deterministic
+given the seed.
 """
 
 import numpy as np
@@ -29,17 +40,18 @@ from mmssl_tpu.data import load_dataset, write_synthetic_dataset
 from mmssl_tpu.train.trainer import Trainer
 from mmssl_tpu.utils.logging import MetricLogger
 
-# Seed-measured centres (see module docstring) and the +/- band.
+SEEDS = (2022, 7, 123)
+# model: (median-of-3 centre, band = max(0.015, 1.25 * measured spread)).
 EXPECTED_R20 = {
-    "mf": 0.3075,
-    "lightgcn": 0.3550,
-    "lattice": 0.3550,
-    "micro": 0.3625,
-    "mmssl": 0.3725,
+    "mf": (0.3075, 0.056),
+    "lightgcn": (0.3550, 0.015),
+    "lattice": (0.3500, 0.022),
+    "micro": (0.3550, 0.028),
+    "mmssl": (0.3825, 0.016),
 }
-BAND = 0.05
 MULTIMODAL = ("mmssl", "lattice", "micro")
 CF_ONLY = ("mf", "lightgcn")
+EPOCHS, PATIENCE = 30, 7
 
 
 @pytest.fixture(scope="module")
@@ -54,14 +66,16 @@ def quality_dataset(tmp_path_factory):
     return root
 
 
-def _protocol_r20(root: str, model: str) -> float:
+def _protocol_r20(root: str, model: str, seed: int, **extra) -> float:
     cfg = preset("q", model, **{
         "data.data_path": root,
         "data.batch_size": 128,
         "model.embed_size": 32,
-        "train.epochs": 30,
+        "train.epochs": EPOCHS,
         "train.eval_every": 1,
-        "train.early_stopping_patience": 7,
+        "train.early_stopping_patience": PATIENCE,
+        "train.seed": seed,
+        **extra,
     })
     tr = Trainer(cfg, dataset=load_dataset(cfg.data), logger=MetricLogger(quiet=True))
     res = tr.fit()
@@ -69,12 +83,16 @@ def _protocol_r20(root: str, model: str) -> float:
     return float(res.test_metrics["recall"][1])  # Ks=(10,20,50) -> @20
 
 
+def _median_r20(root: str, model: str, **extra) -> float:
+    return float(np.median([_protocol_r20(root, model, s, **extra) for s in SEEDS]))
+
+
 def test_quality_protocol_bands_and_family_ordering(quality_dataset):
-    got = {m: _protocol_r20(quality_dataset, m) for m in EXPECTED_R20}
-    for m, centre in EXPECTED_R20.items():
-        assert abs(got[m] - centre) <= BAND, (
-            f"{m}: test R@20 {got[m]:.4f} outside [{centre - BAND:.4f}, "
-            f"{centre + BAND:.4f}] — quality regression (or a legit numeric "
+    got = {m: _median_r20(quality_dataset, m) for m in EXPECTED_R20}
+    for m, (centre, band) in EXPECTED_R20.items():
+        assert abs(got[m] - centre) <= band, (
+            f"{m}: median test R@20 {got[m]:.4f} outside [{centre - band:.4f}, "
+            f"{centre + band:.4f}] — quality regression (or a legit numeric "
             f"change: re-calibrate the band with the measurement in the "
             f"module docstring)"
         )
@@ -84,3 +102,23 @@ def test_quality_protocol_bands_and_family_ordering(quality_dataset):
     cf = float(np.mean([got[m] for m in CF_ONLY]))
     assert mm > cf + 0.01, f"multimodal mean {mm:.4f} !> CF mean {cf:.4f}"
     assert got["mmssl"] >= max(got.values()) - 1e-9, got
+
+
+def test_injected_regressions_fail_the_band(quality_dataset):
+    """The band catches knob-level quality bugs by construction (VERDICT r4
+    #3 done-criterion): each injected half-gap-class regression lands
+    OUTSIDE centre - BAND on its preset seed (single-seed: each run is
+    deterministic, and a real regression shifts every seed together)."""
+    cases = [
+        ("mmssl", {"model.model_cat_rate": 0.0}),   # calibrated: 0.3525
+        ("mmssl", {"train.cl_rate": 0.3}),          # 10x off: 0.3625
+        ("micro", {"train.loss_ratio": 1.0}),       # the r2 parity bug: 0.2250
+    ]
+    for model, extra in cases:
+        got = _protocol_r20(quality_dataset, model,
+                            2022 if model == "mmssl" else 123, **extra)
+        centre, band = EXPECTED_R20[model]
+        assert got < centre - band, (
+            f"injected regression {extra} on {model} was NOT caught: "
+            f"R@20 {got:.4f} within band of {centre:.4f}"
+        )

@@ -216,6 +216,45 @@ def test_recommend_all_sharded_matches_dense():
             assert b[1] is None
 
 
+def test_recommend_sharded_approx_topk(tables):
+    """topk_impl='approx' under a (4,2) mesh (VERDICT r4 #6): the per-shard
+    approx_max_k candidates + exact merge keep recall >= 0.95 vs the exact
+    sharded path, on the request path AND the fused offline path, with
+    train-item exclusion and pad-item masking (odd 17-item catalog) intact.
+    (XLA lowers approx_top_k exactly on CPU, so overlap is 1.0 here; on TPU
+    it is the real approximate kernel at recall_target 0.95 — the bound this
+    test asserts is the one the TPU path guarantees.)"""
+    from mmssl_tpu.parallel.mesh import make_mesh
+
+    u, i, train_pad = tables  # 23 x 17 — odd catalog, pads on the mesh
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    exact = RecommendEngine(u, i, train_pad=train_pad, batch_size=8, mesh=mesh)
+    approx = RecommendEngine(u, i, train_pad=train_pad, batch_size=8, mesh=mesh,
+                             topk_impl="approx")
+    assert approx._i_emb_sharded is not None  # really on the sharded path
+    users = list(range(23))
+    k = 6
+    ids_e, _ = exact.recommend(users, k=k)
+    ids_a, sc_a = approx.recommend(users, k=k)
+    assert np.isfinite(sc_a).all() and (ids_a < 17).all() and (ids_a >= 0).all()
+    overlap = np.mean([
+        len(set(ids_a[n]) & set(ids_e[n])) / float(k) for n in range(len(users))
+    ])
+    assert overlap >= 0.95, overlap
+    for n, uu in enumerate(users):
+        tr_items = set(int(x) for x in train_pad[uu] if x >= 0)
+        assert not (set(int(x) for x in ids_a[n]) & tr_items)
+    # Fused offline path threads the same impl.
+    all_ids, _ = approx.recommend_all(k=k)
+    overlap_all = np.mean([
+        len(set(all_ids[n]) & set(ids_e[n])) / float(k) for n in range(len(users))
+    ])
+    assert overlap_all >= 0.95, overlap_all
+    assert (all_ids < 17).all()
+    with pytest.raises(ValueError, match="topk_impl"):
+        RecommendEngine(u, i, train_pad=train_pad, topk_impl="fancy")
+
+
 def test_recommend_sharded_odd_catalog_matches_dense(tables):
     """Odd catalogs shard for serving too (round 4, mirroring the
     evaluator's geometry padding): both the request path and the fused
