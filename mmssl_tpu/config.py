@@ -247,6 +247,15 @@ class TrainConfig:
     # MICRO --loss_ratio (contrastive-task weight applied to the summed
     # per-modality InfoNCE, MICRO/codes/main.py:103; parser.py:44 default).
     loss_ratio: float = 0.03
+    # MICRO full-catalog InfoNCE schedule knobs (round-5 attribution found
+    # the 2 CL calls are ~44% of the step — docs/performance.md):
+    # cl_remat: wrap each call in jax.checkpoint (recompute the [N, N] exp
+    # blocks in the VJP instead of storing 2·N² per call); numerics
+    # identical either way.  cl_batched: vmap the per-modality calls into
+    # one batched GEMM family sharing the fusion operand (same per-element
+    # math).
+    cl_remat: bool = True
+    cl_batched: bool = False
     lr_decay_base: float = 0.96  # 0.96 ** (epoch / 50), main.py:85
     lr_decay_interval: float = 50.0
     early_stopping_patience: int = 7  # parser.py:11

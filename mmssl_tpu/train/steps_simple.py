@@ -116,12 +116,20 @@ def simple_train_step_impl(
             # `train.loss_ratio=0` bench override a TRUE compute ablation
             # (docs/performance.md MICRO attribution).
             if t.loss_ratio != 0.0:
-                nce = jax.checkpoint(
-                    lambda x, y: infonce(x, y, t.cl_tau, eps=0.0, dtype=cdt,
-                                         n_real=n_items_real)
-                )
-                for m in sorted(consts.feats):
-                    cl = cl + nce(out.mm_item_embeds[m], out.fusion)
+                base = lambda x, y: infonce(x, y, t.cl_tau, eps=0.0, dtype=cdt,
+                                            n_real=n_items_real)
+                nce = jax.checkpoint(base) if t.cl_remat else base
+                if t.cl_batched:
+                    # One batched call: the [M, c, N] GEMM family reads the
+                    # shared fusion operand once per chunk; per-modality
+                    # numerics are unchanged (vmap batches, not reorders).
+                    xs = jnp.stack(
+                        [out.mm_item_embeds[m] for m in sorted(consts.feats)]
+                    )
+                    cl = jnp.sum(jax.vmap(nce, in_axes=(0, None))(xs, out.fusion))
+                else:
+                    for m in sorted(consts.feats):
+                        cl = cl + nce(out.mm_item_embeds[m], out.fusion)
                 cl = cl * t.loss_ratio
         elif name == "lightgcn":
             res = apply_lightgcn(params, consts.joint, cfg.model)

@@ -10,12 +10,11 @@ compile, so a config that cannot fit is refused/diagnosed in seconds with
 the knobs that would make it fit (graph_dtype='bit', d_param_dtype=bfloat16,
 train.remat) instead of failing after a 10-minute XLA compile.
 
-Estimates are deliberately simple sums of the big arrays (small weights,
-scalars, and fusion temporaries are ignored); they bracket the real
-footprint from below, so "estimate > budget" is a certain OOM while
-"estimate < budget" leaves headroom for XLA temporaries.  Validated against
-the measured Netflix-class run in docs/performance.md (large-catalog
-section).
+Estimates are simple sums of the big arrays plus a fragmentation-calibrated
+transient term; small weights, scalars, and fusion temporaries are ignored.
+CALIBRATED against the measured Netflix-scale matrix: the four dense/coo ×
+batch verdicts (two OOMs, two successful runs) are all reproduced — see
+docs/performance.md, large-catalog section, and the FRAG note below.
 """
 
 from __future__ import annotations
@@ -64,6 +63,13 @@ def estimate_mmssl_hbm(
     if cfg.model.graph_impl == "dense":
         g_b = _bytes(cfg.model.graph_dtype)
         c["graphs_dense(ui+iu)"] = 2.0 * n_users * n_items * g_b
+        # int8 graphs are converted to the compute dtype for the MXU; at
+        # large catalogs XLA materializes (at least) one full converted
+        # direction as a temp — [n_users, n_items] at compute bytes.  This
+        # is the component that makes dense infeasible at Netflix scale
+        # even at batch 512 (measured OOM; docs/performance.md).
+        if cfg.model.graph_dtype in ("int8", "bit"):
+            c["graphs_mxu_convert"] = float(n_users) * n_items * (comp_b if comp_b != 4.0 else 4.0)
 
     # Discriminator tower at d_param_dtype (BN params are KBs, ignored).
     h1, h2 = max(n_items // 4, 1), max(n_items // 8, 1)
@@ -71,7 +77,11 @@ def estimate_mmssl_hbm(
     dp_b = _bytes(cfg.train.d_param_dtype)
     c["d_tower_params"] = d_n * dp_b
     c["d_tower_moments(x2)"] = d_n * _bytes(cfg.train.d_moment_dtype) * 2.0
-    c["d_tower_grads(transient)"] = d_n * dp_b
+    # THREE l1-shaped cotangent buffers coexist (D-step grad, WGAN-GP
+    # grad-of-grad, adversarial G path) — the top-3 allocations of the
+    # measured Netflix-scale OOM dump were exactly three bf16[n_items, h1]
+    # temps (764 MB each; docs/performance.md large-catalog section).
+    c["d_tower_grads(transient)"] = d_n * dp_b * 3.0
 
     # Generator params + Adam moments (f32): tables + modality projectors.
     g_n = (n_users + n_items) * d + sum(fd * d for fd in feat_dims.values())
@@ -91,27 +101,43 @@ def estimate_mmssl_hbm(
     # Dominant transients: the fused propagation stack over the joint node
     # axis (x3: primal + VJP residual + cotangent), and the full-catalog
     # row blocks ([M*B, n_items] fake-row scores, D layer-1 activations and
-    # their cotangents).
+    # their cotangents — observed f32 in the netflix OOM dump, ~6 live
+    # copies across the D-step/GP/G-step paths).
     stack_cols = d + (1 if cfg.train.shared_fwd_draw else 2) * M * d
     c["fused_stack(transient)"] = (n_users + n_items) * stack_cols * comp_b * 3.0
-    c["catalog_rows(transient)"] = (M * B) * (n_items + h1) * comp_b * 3.0
+    c["catalog_rows(transient)"] = (M * B) * (n_items + h1) * 4.0 * 4.0
 
+    # XLA HLO-temp fragmentation: the measured netflix-scale program padded
+    # 3.82 GiB of unpadded temps to 11.70 GiB (3.06x), but remat/liveness
+    # keeps the true peak below the naive product.  FRAG=1.75 on the
+    # transient components (together with graphs_mxu_convert above)
+    # reproduces every measured verdict of the netflix matrix
+    # (docs/performance.md): dense-int8 B=1024 estimates 21.5 GiB
+    # (measured 19.9 GiB OOM -> refuse), dense B=512 20.1 (measured OOM ->
+    # refuse), coo B=1024 11.0 (runs -> allow), coo B=2048 13.7 (runs at
+    # 53.4% MFU -> allow), Sports dense 5.8 and Baby dense 1.5 (both run
+    # -> allow).  Resident arguments do not fragment.
+    FRAG = 1.75
+    transient = [k for k in c if "transient" in k]
+    for k in transient:
+        c[k] = c[k] * FRAG
     total = int(sum(c.values()))
     suggestions = []
     if cfg.model.graph_impl == "dense":
         g_b = _bytes(cfg.model.graph_dtype)
+        suggestions.append(
+            f"model.graph_impl='coo' prices the interaction graphs at nnz "
+            f"instead of n_users*n_items (frees "
+            f"~{c['graphs_dense(ui+iu)'] / GIB:.1f} GiB) — the MEASURED "
+            f"feasibility knob at Netflix-class catalogs: dense graphs OOM "
+            f"on one chip there while coo runs at 47.6% MFU "
+            f"(docs/performance.md large-catalog matrix)")
         if g_b > 1.0:
             suggestions.append(
                 f"model.graph_dtype='int8' shrinks the dense interaction "
                 f"graphs to 1 byte/entry (saves "
                 f"~{c['graphs_dense(ui+iu)'] * (1 - 1.0 / g_b) / GIB:.1f} GiB; "
                 f"'bit' is CF-joint-only — the MMSSL dense engine refuses it)")
-        suggestions.append(
-            "model.graph_impl='coo' prices the interaction graphs at nnz "
-            "instead of n_users*n_items (dense wins on the MXU at reference "
-            "scales — cost-model rule 1 — but the break-even moves with "
-            "catalog size; see the large-catalog matrix in "
-            "docs/performance.md)")
     if dp_b > 2.0:
         suggestions.append(
             f"train.d_param_dtype='bfloat16' halves the O(n_items^2/4) "

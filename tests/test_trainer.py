@@ -333,6 +333,35 @@ def test_micro_dense_mode_matches_sparse(tiny_dataset):
     np.testing.assert_allclose(ed, es, rtol=1e-3, atol=2e-3)
 
 
+def test_micro_cl_schedule_knobs_are_exact(tiny_dataset):
+    """train.cl_remat / train.cl_batched are VJP-schedule / batching choices
+    only: every combination trains to the default's losses (round-5 MICRO
+    attribution levers — both measured NEGATIVE on chip and default off/on
+    as shipped, docs/performance.md)."""
+    kw = {"train.steps_per_dispatch": 0}
+    ref = _mk_trainer(tiny_dataset, "micro", **kw)
+    ms = [np.asarray(ref.train_batch(i)) for i in range(2)]
+    for extra in ({"train.cl_remat": False}, {"train.cl_batched": True},
+                  {"train.cl_batched": True, "train.cl_remat": False}):
+        tr = _mk_trainer(tiny_dataset, "micro", **{**kw, **extra})
+        for i in range(2):
+            np.testing.assert_allclose(
+                np.asarray(tr.train_batch(i)), ms[i], rtol=2e-5, atol=2e-6,
+                err_msg=str(extra))
+
+
+def test_micro_loss_ratio_zero_statically_skips_cl(tiny_dataset):
+    """loss_ratio=0 removes the InfoNCE compute from the program (round 5:
+    the multiply-by-zero form hid 44% of MICRO's step behind a non-ablation);
+    cl_loss reads exactly 0 and training still proceeds."""
+    tr = _mk_trainer(tiny_dataset, "micro",
+                     **{"train.steps_per_dispatch": 0, "train.loss_ratio": 0.0})
+    keys = list(tr.metric_keys)
+    m = np.asarray(tr.train_batch(0))
+    assert np.isfinite(m).all()
+    assert float(m[keys.index("cl_loss")]) == 0.0
+
+
 @pytest.mark.parametrize("model", ["lightgcn", "ngcf", "lattice", "micro"])
 def test_simple_models_dense_joint(tiny_dataset, model):
     """graph_impl='dense' routes the CF joint adjacency through
