@@ -69,7 +69,7 @@ def estimate_mmssl_hbm(
         # is the component that makes dense infeasible at Netflix scale
         # even at batch 512 (measured OOM; docs/performance.md).
         if cfg.model.graph_dtype in ("int8", "bit"):
-            c["graphs_mxu_convert"] = float(n_users) * n_items * (comp_b if comp_b != 4.0 else 4.0)
+            c["graphs_mxu_convert"] = float(n_users) * n_items * comp_b
 
     # Discriminator tower at d_param_dtype (BN params are KBs, ignored).
     h1, h2 = max(n_items // 4, 1), max(n_items // 8, 1)

@@ -24,7 +24,9 @@ between entries.  Modes:
 Prints one JSON line per (model, mode).  Results + the executable inventory
 table live in docs/performance.md ("cold start" section).
 
-Usage: python scripts/bench_coldstart.py [model ...] [--cold] [--scale S]
+Usage: python scripts/bench_coldstart.py [model ...] [--cold]
+(models are bench_zoo entry names, so mmssl_sports / mmssl_netflix measure
+the larger geometries)
 """
 
 import argparse

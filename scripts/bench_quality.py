@@ -206,6 +206,15 @@ def main():
                 entry["band"] = max(0.005, round(1.5 * r["recall@20_spread"], 5))
                 entry["seeds"] = r["seeds"]
                 entry["recall@20_per_seed"] = r["recall@20_per_seed"]
+            elif m in models_out and "band" in models_out[m]:
+                # A single-seed refresh must not silently LOOSEN the gate:
+                # keep the previous multi-seed calibrated band (the stale
+                # per-seed values are dropped — they described the old
+                # measurement, the band is the gate parameter).
+                entry["band"] = models_out[m]["band"]
+                log(f"bench_quality[{m}]: single-seed update — retaining the "
+                    f"calibrated band {entry['band']} from the previous "
+                    "multi-seed baseline (re-run with --seeds to recalibrate)")
             models_out[m] = entry
         band_out = args.band if args.band is not None else (prev_band or 0.015)
         stamp = time.strftime("%Y-%m-%d")

@@ -111,7 +111,11 @@ def build_trainer(name: str):
             "data.data_path": os.path.join(_ROOT, ".bench_data"),
             "data.dataset": dsname,
             "data.batch_size": 1024,
-            "model.graph_impl": "dense",
+            # Netflix-class: the dense fast path cannot fit one chip (the
+            # HBM guard refuses it by calibration — docs/performance.md
+            # large-catalog matrix); default this entry to the measured
+            # single-chip-feasible coo config instead.
+            "model.graph_impl": "coo" if name == "mmssl_netflix" else "dense",
             "model.graph_dtype": "int8",
             "model.compute_dtype": "bfloat16",
             "train.d_moment_dtype": "bfloat16",

@@ -102,10 +102,29 @@ def pytest_collection_modifyitems(config, items):
 
     if os.environ.get("MMSSL_TPU_TESTS_IN_SUBPROCESS"):
         return  # inner (isolated) run: execute everything it collected
-    if getattr(config.option, "markexpr", ""):
-        return  # marker-filtered runs execute in-process (see note above)
-
     explicit = _explicit_targets(config)
+    markexpr = getattr(config.option, "markexpr", "")
+    if markexpr:
+        # Marker-filtered runs execute in-process.  Only `-m fast` is a
+        # supported directory-level subset: any other expression would both
+        # reintroduce the in-process SIGABRT risk (heavy modules run
+        # un-isolated) and double-run every heavy module via the zz
+        # proxies — refuse loudly instead of silently doing either.
+        if markexpr.strip() != "fast" and not explicit:
+            raise pytest.UsageError(
+                f"-m {markexpr!r} is not supported for directory-level runs: "
+                "only '-m fast' is (other expressions would run the heavy "
+                "modules in-process AND again via their subprocess proxies). "
+                "Name test files explicitly to use custom marker expressions."
+            )
+        return
+    if getattr(config.option, "keyword", ""):
+        # -k keyword runs select a handful of tests (no accumulated-compile
+        # abort risk); skipping the proxy logic here keeps heavy-module
+        # tests reachable by keyword — with it, `-k approx_topk` would
+        # deselect the heavy-module match and silently run nothing.
+        return
+
     kept, moved = [], []
     for item in items:
         base = os.path.basename(str(item.fspath))
